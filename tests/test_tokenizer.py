@@ -1,0 +1,91 @@
+"""Golden tests: our BPE tokenizer must produce identical ids to the reference
+CLIP tokenizer (/root/reference/src/open_clip/tokenizer.py) on a diverse corpus.
+"""
+
+import importlib.util
+import sys
+import types
+
+import numpy as np
+import pytest
+
+from xtagclip_tpu.tokenize.bpe import SimpleTokenizer, tokenize
+
+CORPUS = [
+    "a photo of a cat",
+    "A Keloid scar with a Widened Width, exhibiting a Red Color and Pigmented "
+    "Pigmentation. It has a Keloid Surface, with mild Irregular Color and severe "
+    "Irregular Height.",
+    "This is an image of Hypertrophic scar with a Linear Width, exhibiting a "
+    "Normal Color and Normal Pigmentation.",
+    "hello world!!! 123 foo-bar_baz",
+    "UPPER case MiXeD",
+    "punctuation, everywhere; (truly)...",
+    "don't you've we'll i'm they'd it's",
+    "  extra   whitespace\t\tand\nnewlines  ",
+    "",
+    "x" * 500,  # long word forces truncation path
+    "word " * 120,  # long sentence forces truncation with EOT repair
+    "émigré café naïve",  # non-ascii accents
+    "数字と日本語のテキスト",  # CJK -> byte-level BPE fallback
+]
+
+
+@pytest.fixture(scope="module")
+def reference_tokenizer():
+    # ftfy is not installed; stub it with identity fix_text (identity for all
+    # clean input, which is what both sides then see).
+    if "ftfy" not in sys.modules:
+        ftfy = types.ModuleType("ftfy")
+        ftfy.fix_text = lambda x: x
+        sys.modules["ftfy"] = ftfy
+    spec = importlib.util.spec_from_file_location(
+        "_ref_tokenizer", "/root/reference/src/open_clip/tokenizer.py"
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def test_vocab_construction():
+    tok = SimpleTokenizer()
+    assert tok.vocab_size == 49408
+    assert tok.sot_token_id == 49406
+    assert tok.eot_token_id == 49407
+
+
+def test_golden_ids_vs_reference(reference_tokenizer):
+    ours = SimpleTokenizer()
+    ref_tok = reference_tokenizer.SimpleTokenizer()
+    for text in CORPUS:
+        ref = ref_tok([text]).numpy().astype(np.int32)
+        got = ours([text])
+        assert got.shape == (1, 77)
+        np.testing.assert_array_equal(got, ref, err_msg=f"mismatch on {text!r}")
+
+
+def test_batch_and_module_level():
+    out = tokenize(["a photo of a cat", "a photo of a dog"])
+    assert out.shape == (2, 77)
+    assert out.dtype == np.int32
+    assert out[0, 0] == 49406
+    assert (out != 0).sum(axis=1).min() >= 3
+
+
+def test_decode_roundtrip():
+    tok = SimpleTokenizer()
+    ids = tok.encode("a photo of a cat")
+    assert tok.decode(ids).strip() == "a photo of a cat"
+
+
+def test_truncation_sets_eot():
+    tok = SimpleTokenizer()
+    out = tok(["word " * 200])
+    assert out[0, -1] == tok.eot_token_id
+
+
+def test_clean_canonicalize(reference_tokenizer):
+    ours = SimpleTokenizer(clean="canonicalize")
+    ref = reference_tokenizer.SimpleTokenizer(clean="canonicalize")
+    for text in ["Hello, World! it's nice.", "under_score and-dash"]:
+        np.testing.assert_array_equal(ours([text]), ref([text]).numpy())
