@@ -6,12 +6,24 @@ devices, per the build contract; the real TPU chip is reserved for bench runs.
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# force CPU even when the harness pre-sets JAX_PLATFORMS (e.g. axon/TPU):
+# tests must run on the virtual 8-device CPU mesh, never the real chip.
+# NOTE: the axon TPU plugin on this image ignores JAX_PLATFORMS but honors
+# JAX_PLATFORM_NAME — set both (TPU init also costs ~30s of tunnel setup).
+os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ["JAX_PLATFORM_NAME"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+
+import jax
+
+# jax may already be imported by pytest's own dependency chain, but the
+# backend only materializes on first use — config.update still wins here.
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_num_cpu_devices", 8)
 
 import numpy as np
 import pytest

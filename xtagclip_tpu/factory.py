@@ -1,0 +1,342 @@
+"""Model factory: config registry + tower assembly + checkpoint loading.
+
+Mirrors the reference factory surface (/root/reference/src/open_clip/factory.py):
+list_models / get_model_config / add_model_config / create_model /
+create_model_and_transforms / get_tokenizer — rebuilt for JAX: a "model" is a
+(module, params) pair wrapped in ModelBundle with jitted encode helpers.
+
+113 architecture JSONs ship in assets/model_configs (same schema as reference
+model_configs/*.json, validated for {embed_dim, vision_cfg, text_cfg}).
+"""
+
+from __future__ import annotations
+
+import json
+import re
+from dataclasses import dataclass, field
+from functools import partial
+from pathlib import Path
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from xtagclip_tpu.models.clip import CLIP
+from xtagclip_tpu.models.layers import gelu_exact, quick_gelu
+from xtagclip_tpu.models.text import TextTransformer
+from xtagclip_tpu.models.vit import VisionTransformer
+from xtagclip_tpu.utils.assets import asset_path
+
+_MODEL_CONFIGS: Dict[str, dict] = {}
+
+
+def _natural_key(s: str):
+    return [int(t) if t.isdigit() else t for t in re.split(r"(\d+)", s.lower())]
+
+
+def _rescan_model_configs():
+    global _MODEL_CONFIGS
+    cfg_dir = asset_path("model_configs")
+    configs = {}
+    for f in Path(cfg_dir).glob("*.json"):
+        with open(f) as fh:
+            cfg = json.load(fh)
+        if all(k in cfg for k in ("embed_dim", "vision_cfg", "text_cfg")):
+            configs[f.stem] = cfg
+    _MODEL_CONFIGS = {
+        k: configs[k] for k in sorted(configs, key=_natural_key)
+    }
+
+
+_rescan_model_configs()
+
+
+def list_models():
+    return list(_MODEL_CONFIGS.keys())
+
+
+def get_model_config(model_name: str) -> Optional[dict]:
+    cfg = _MODEL_CONFIGS.get(model_name)
+    return json.loads(json.dumps(cfg)) if cfg is not None else None
+
+
+def add_model_config(path):
+    path = Path(path)
+    with open(path) as f:
+        cfg = json.load(f)
+    _MODEL_CONFIGS[path.stem] = cfg
+
+
+def get_cast_dtype(precision: str):
+    if precision in ("bf16", "pure_bf16"):
+        return jnp.bfloat16
+    if precision in ("fp16", "pure_fp16"):
+        return jnp.float16
+    return jnp.float32
+
+
+def get_input_dtype(precision: str):
+    return get_cast_dtype(precision)
+
+
+@dataclass
+class ModelBundle:
+    """A built model: module definition + parameter pytree + metadata."""
+
+    module: Any
+    params: Any
+    model_cfg: dict
+    model_name: str
+    preprocess_cfg: dict = field(default_factory=dict)
+    quick_gelu: bool = False
+
+    def apply(self, *args, method=None, rngs=None, **kwargs):
+        variables = {"params": self.params}
+        return self.module.apply(variables, *args, method=method, rngs=rngs, **kwargs)
+
+    def encode_image(self, images, normalize=True, params=None):
+        variables = {"params": params if params is not None else self.params}
+        return self.module.apply(
+            variables, images, normalize, method=self.module.encode_image
+        )
+
+    def encode_text(self, text, normalize=True, params=None):
+        variables = {"params": params if params is not None else self.params}
+        return self.module.apply(
+            variables, jnp.asarray(text), normalize, method=self.module.encode_text
+        )
+
+
+def _build_vision_tower(embed_dim: int, vision_cfg: dict, quick: bool,
+                        dtype, param_dtype, remat: bool = False):
+    v = dict(vision_cfg)
+    act = quick_gelu if quick else gelu_exact
+    if v.get("timm_model_name"):
+        from xtagclip_tpu.models.timm_vit import build_timm_vision_tower
+
+        return build_timm_vision_tower(
+            embed_dim=embed_dim, vision_cfg=v, dtype=dtype,
+            param_dtype=param_dtype, remat=remat,
+        )
+    if isinstance(v.get("layers"), (tuple, list)):
+        from xtagclip_tpu.models.resnet import ModifiedResNet
+
+        heads = v.get("width", 64) * 32 // v.get("head_width", 64)
+        return ModifiedResNet(
+            layers=tuple(v["layers"]), output_dim=embed_dim, heads=heads,
+            image_size=v.get("image_size", 224), width=v.get("width", 64),
+            dtype=dtype, param_dtype=param_dtype,
+        )
+    heads = v.get("width", 768) // v.get("head_width", 64)
+    norm_eps = (v.get("norm_kwargs") or {}).get("eps", 1e-5)
+    return VisionTransformer(
+        image_size=v.get("image_size", 224),
+        patch_size=v.get("patch_size", 16),
+        width=v.get("width", 768),
+        layers=v.get("layers", 12),
+        heads=heads,
+        mlp_ratio=v.get("mlp_ratio", 4.0),
+        ls_init_value=v.get("ls_init_value"),
+        patch_dropout=v.get("patch_dropout", 0.0),
+        attentional_pool=v.get("attentional_pool", False),
+        attn_pooler_queries=v.get("attn_pooler_queries", 256),
+        attn_pooler_heads=v.get("attn_pooler_heads", 8),
+        pos_embed_type=v.get("pos_embed_type", "learnable"),
+        no_ln_pre=v.get("no_ln_pre", False),
+        final_ln_after_pool=v.get("final_ln_after_pool", False),
+        pool_type=v.get("pool_type", "tok"),
+        output_tokens=True,
+        output_dim=embed_dim,
+        act=act,
+        norm_eps=norm_eps,
+        remat=remat,
+        dtype=dtype,
+        param_dtype=param_dtype,
+        name="visual",
+    )
+
+
+def _build_text_tower(embed_dim: int, text_cfg: dict, quick: bool,
+                      dtype, param_dtype, remat: bool = False):
+    t = dict(text_cfg)
+    if t.get("hf_model_name"):
+        from xtagclip_tpu.models.hf_text import HFTextEncoder
+
+        return HFTextEncoder(
+            model_name=t["hf_model_name"],
+            output_dim=embed_dim,
+            proj_type=t.get("hf_proj_type", "mlp"),
+            pooler_type=t.get("hf_pooler_type", "mean_pooler"),
+            dtype=dtype, param_dtype=param_dtype, name="text",
+        )
+    act = quick_gelu if quick else gelu_exact
+    norm_eps = (t.get("norm_kwargs") or {}).get("eps", 1e-5)
+    return TextTransformer(
+        context_length=t.get("context_length", 77),
+        vocab_size=t.get("vocab_size", 49408),
+        width=t.get("width", 512),
+        heads=t.get("heads", 8),
+        layers=t.get("layers", 12),
+        mlp_ratio=t.get("mlp_ratio", 4.0),
+        ls_init_value=t.get("ls_init_value"),
+        output_dim=embed_dim,
+        embed_cls=t.get("embed_cls", False),
+        no_causal_mask=t.get("no_causal_mask", False),
+        pad_id=t.get("pad_id", 0),
+        pool_type=t.get("pool_type", "argmax"),
+        proj_type=t.get("proj_type", "linear"),
+        proj_bias=t.get("proj_bias", False),
+        act=act,
+        norm_eps=norm_eps,
+        remat=remat,
+        dtype=dtype,
+        param_dtype=param_dtype,
+        name="text",
+    )
+
+
+def create_model(
+    model_name: str,
+    pretrained: Optional[str] = None,
+    precision: str = "fp32",
+    force_quick_gelu: bool = False,
+    force_image_size: Optional[Any] = None,
+    force_custom_text: bool = False,
+    use_tagging: bool = False,
+    use_fusion: bool = False,
+    prompt_template_setting: Optional[str] = None,
+    grad_checkpointing: bool = False,
+    init_seed: int = 0,
+    skip_init: bool = False,
+    **model_kwargs,
+) -> ModelBundle:
+    """Build a model (random init), then optionally load pretrained weights.
+
+    `pretrained` accepts a local path to a torch .pt/.bin checkpoint in
+    open_clip layout (no-egress environment: hub/url tags resolve only if the
+    file is already cached locally).
+    """
+    model_name = model_name.replace("/", "-")
+    cfg = get_model_config(model_name)
+    if cfg is None:
+        raise RuntimeError(f"Model config for {model_name} not found; "
+                           f"available: {len(list_models())} configs")
+
+    quick = cfg.get("quick_gelu", False) or force_quick_gelu
+    if force_image_size is not None:
+        cfg["vision_cfg"]["image_size"] = force_image_size
+    cast_dtype = get_cast_dtype(precision)
+    param_dtype = (
+        jnp.bfloat16 if precision in ("pure_bf16",)
+        else jnp.float16 if precision in ("pure_fp16",)
+        else jnp.float32
+    )
+
+    for k, v in model_kwargs.items():
+        cfg[k] = v
+
+    visual = _build_vision_tower(
+        cfg["embed_dim"], cfg["vision_cfg"], quick, cast_dtype, param_dtype,
+        remat=grad_checkpointing,
+    )
+    text = _build_text_tower(
+        cfg["embed_dim"], cfg["text_cfg"], quick, cast_dtype, param_dtype,
+        remat=grad_checkpointing,
+    )
+    module = CLIP(
+        visual=visual,
+        text=text,
+        embed_dim=cfg["embed_dim"],
+        init_logit_scale=cfg.get("init_logit_scale", float(np.log(1 / 0.07))),
+        init_logit_bias=cfg.get("init_logit_bias"),
+        nonscalar_logit_scale=cfg.get("nonscalar_logit_scale", False),
+        use_tagging=use_tagging,
+        use_fusion=use_fusion,
+        dtype=cast_dtype,
+        param_dtype=param_dtype,
+    )
+
+    params = None
+    if not skip_init:
+        image_size = cfg["vision_cfg"].get("image_size", 224)
+        if isinstance(image_size, (tuple, list)):
+            ih, iw = image_size
+        else:
+            ih = iw = image_size
+        ctx = cfg["text_cfg"].get("context_length", 77)
+        dummy_img = jnp.zeros((1, ih, iw, 3), cast_dtype)
+        dummy_txt = jnp.zeros((1, ctx), jnp.int32)
+        params = module.init(
+            jax.random.PRNGKey(init_seed), dummy_img, dummy_txt,
+            deterministic=True,
+        )["params"]
+
+    bundle = ModelBundle(
+        module=module,
+        params=params,
+        model_cfg=cfg,
+        model_name=model_name,
+        quick_gelu=quick,
+        preprocess_cfg=dict(cfg.get("preprocess_cfg", {})),
+    )
+
+    if pretrained:
+        from xtagclip_tpu.convert.loader import load_checkpoint_into
+
+        load_checkpoint_into(bundle, pretrained)
+
+    return bundle
+
+
+def create_model_and_transforms(
+    model_name: str,
+    pretrained: Optional[str] = None,
+    precision: str = "fp32",
+    image_mean=None,
+    image_std=None,
+    image_interpolation=None,
+    image_resize_mode=None,
+    aug_cfg=None,
+    **kwargs,
+):
+    from xtagclip_tpu.data.transforms import (
+        PreprocessCfg,
+        image_transform_train,
+        image_transform_eval,
+    )
+
+    bundle = create_model(model_name, pretrained, precision=precision, **kwargs)
+    pp = PreprocessCfg(
+        size=bundle.model_cfg["vision_cfg"].get("image_size", 224),
+        mean=image_mean, std=image_std,
+        interpolation=image_interpolation or "bicubic",
+        resize_mode=image_resize_mode or "shortest",
+    )
+    train_t = image_transform_train(pp, aug_cfg=aug_cfg)
+    eval_t = image_transform_eval(pp)
+    return bundle, train_t, eval_t
+
+
+def get_tokenizer(model_name: str = "", context_length: Optional[int] = None,
+                  **kwargs):
+    from xtagclip_tpu.tokenize.bpe import SimpleTokenizer
+
+    cfg = get_model_config(model_name) if model_name else None
+    text_cfg = (cfg or {}).get("text_cfg", {})
+    if text_cfg.get("hf_tokenizer_name"):
+        from xtagclip_tpu.tokenize.hf import HFTokenizer
+
+        tk = text_cfg.get("tokenizer_kwargs", {}) or {}
+        tk.update(kwargs)
+        return HFTokenizer(
+            text_cfg["hf_tokenizer_name"],
+            context_length=context_length or text_cfg.get("context_length", 77),
+            **tk,
+        )
+    tk = dict(text_cfg.get("tokenizer_kwargs", {}) or {})
+    tk.update(kwargs)
+    return SimpleTokenizer(
+        context_length=context_length or text_cfg.get("context_length", 77),
+        **tk,
+    )

@@ -1,0 +1,323 @@
+"""Core transformer layers, TPU-first.
+
+Semantics match the reference blocks (/root/reference/src/open_clip/transformer.py):
+- LayerNorm always computes in float32 and casts back (reference LayerNormFp32 /
+  LayerNorm collapse to one TPU-friendly rule: fp32 statistics under bf16 compute).
+- QuickGELU (x * sigmoid(1.702x)) vs exact tanh GELU selectable.
+- MultiheadAttention mirrors torch.nn.MultiheadAttention math: fused qkv
+  projection, q scaled by head_dim**-0.5, additive float mask, fp32 softmax.
+
+All matmuls run with preferred_element_type=float32 so the MXU accumulates in
+fp32 regardless of bf16 inputs.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Optional
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+Dtype = Any
+
+
+def quick_gelu(x):
+    return x * jax.nn.sigmoid(1.702 * x)
+
+
+def gelu_exact(x):
+    return jax.nn.gelu(x, approximate=False)
+
+
+def get_act_fn(name_or_fn) -> Callable:
+    if callable(name_or_fn):
+        return name_or_fn
+    return {"gelu": gelu_exact, "quick_gelu": quick_gelu, "relu": jax.nn.relu}[
+        name_or_fn
+    ]
+
+
+class LayerNorm(nn.Module):
+    """LayerNorm with fp32 statistics, output cast back to input dtype."""
+
+    eps: float = 1e-5
+    param_dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        orig_dtype = x.dtype
+        dim = x.shape[-1]
+        scale = self.param("scale", nn.initializers.ones, (dim,), self.param_dtype)
+        bias = self.param("bias", nn.initializers.zeros, (dim,), self.param_dtype)
+        x32 = x.astype(jnp.float32)
+        mean = jnp.mean(x32, axis=-1, keepdims=True)
+        var = jnp.mean(jnp.square(x32 - mean), axis=-1, keepdims=True)
+        y = (x32 - mean) * jax.lax.rsqrt(var + self.eps)
+        y = y * scale.astype(jnp.float32) + bias.astype(jnp.float32)
+        return y.astype(orig_dtype)
+
+
+class LayerScale(nn.Module):
+    init_values: float = 1e-5
+    param_dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        dim = x.shape[-1]
+        gamma = self.param(
+            "gamma",
+            lambda key, shape, dtype: jnp.full(shape, self.init_values, dtype),
+            (dim,),
+            self.param_dtype,
+        )
+        return x * gamma.astype(x.dtype)
+
+
+def _dot(a, b):
+    return jnp.matmul(a, b, preferred_element_type=jnp.float32)
+
+
+def dot_product_attention(q, k, v, mask=None, scale=None, dropout_rate=0.0,
+                          dropout_rng=None, deterministic=True):
+    """q,k,v: [B, H, L, Dh]. mask: additive float, broadcastable to [B,H,Lq,Lk].
+
+    Softmax is computed in float32 (TPU numerics rule); output cast to q dtype.
+    """
+    dh = q.shape[-1]
+    scale = dh**-0.5 if scale is None else scale
+    scores = jnp.einsum(
+        "bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32
+    ) * scale
+    if mask is not None:
+        scores = scores + mask.astype(jnp.float32)
+    probs = jax.nn.softmax(scores, axis=-1)
+    if dropout_rate > 0.0 and not deterministic:
+        keep = jax.random.bernoulli(dropout_rng, 1.0 - dropout_rate, probs.shape)
+        probs = probs * keep / (1.0 - dropout_rate)
+    out = jnp.einsum(
+        "bhqk,bhkd->bhqd", probs.astype(v.dtype), v,
+        preferred_element_type=jnp.float32,
+    )
+    return out.astype(q.dtype), probs
+
+
+def _split_heads(x, num_heads):
+    b, l, d = x.shape
+    return x.reshape(b, l, num_heads, d // num_heads).transpose(0, 2, 1, 3)
+
+
+def _merge_heads(x):
+    b, h, l, dh = x.shape
+    return x.transpose(0, 2, 1, 3).reshape(b, l, h * dh)
+
+
+class MultiheadAttention(nn.Module):
+    """torch.nn.MultiheadAttention-compatible attention (batch-first).
+
+    Fused in_proj when q/k/v dims agree (kernel layout [E, 3E]; the torch
+    converter transposes [3E, E] weights). Separate kdim/vdim path kept for
+    AttentionalPooler parity.
+    """
+
+    num_heads: int
+    dropout: float = 0.0
+    kdim: Optional[int] = None
+    vdim: Optional[int] = None
+    dtype: Dtype = jnp.float32
+    param_dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, q, k=None, v=None, attn_mask=None, deterministic=True,
+                 return_weights=False):
+        k = q if k is None else k
+        v = k if v is None else v
+        e = q.shape[-1]
+        kdim = self.kdim or k.shape[-1]
+        vdim = self.vdim or v.shape[-1]
+        qkv_same = kdim == e and vdim == e
+
+        dense = lambda feats, name: nn.Dense(
+            feats, name=name, dtype=self.dtype, param_dtype=self.param_dtype
+        )
+        if qkv_same:
+            in_proj = dense(3 * e, "in_proj")
+            if q is k and k is v:
+                qkv = in_proj(q)
+                qh, kh, vh = jnp.split(qkv, 3, axis=-1)
+            else:
+                # distinct tensors: apply the fused projection slices separately
+                qkv_q = in_proj(q)
+                qkv_k = in_proj(k)
+                qkv_v = in_proj(v)
+                qh = qkv_q[..., :e]
+                kh = qkv_k[..., e : 2 * e]
+                vh = qkv_v[..., 2 * e :]
+        else:
+            qh = dense(e, "q_proj")(q)
+            kh = dense(e, "k_proj")(k)
+            vh = dense(e, "v_proj")(v)
+
+        qh = _split_heads(qh, self.num_heads)
+        kh = _split_heads(kh, self.num_heads)
+        vh = _split_heads(vh, self.num_heads)
+
+        mask = None
+        if attn_mask is not None:
+            if attn_mask.dtype == jnp.bool_:
+                mask = jnp.where(attn_mask, jnp.float32(-jnp.inf), 0.0)
+            else:
+                mask = attn_mask
+            while mask.ndim < 4:
+                mask = mask[None]
+
+        rng = self.make_rng("dropout") if (self.dropout > 0 and not deterministic) else None
+        out, probs = dot_product_attention(
+            qh, kh, vh, mask=mask, dropout_rate=self.dropout,
+            dropout_rng=rng, deterministic=deterministic,
+        )
+        out = _merge_heads(out)
+        out = dense(e, "out_proj")(out)
+        if return_weights:
+            # torch returns head-averaged weights by default
+            return out, probs.mean(axis=1)
+        return out
+
+
+class MLP(nn.Module):
+    """CLIP block MLP: c_fc -> act -> c_proj."""
+
+    mlp_width: int
+    act: Callable
+    dtype: Dtype = jnp.float32
+    param_dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        d = x.shape[-1]
+        h = nn.Dense(self.mlp_width, name="c_fc", dtype=self.dtype,
+                     param_dtype=self.param_dtype)(x)
+        h = self.act(h)
+        return nn.Dense(d, name="c_proj", dtype=self.dtype,
+                        param_dtype=self.param_dtype)(h)
+
+
+class ResidualAttentionBlock(nn.Module):
+    """Pre-norm transformer block (reference transformer.py:213-269)."""
+
+    num_heads: int
+    mlp_ratio: float = 4.0
+    ls_init_value: Optional[float] = None
+    act: Callable = gelu_exact
+    norm_eps: float = 1e-5
+    dtype: Dtype = jnp.float32
+    param_dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, attn_mask=None, deterministic=True):
+        d = x.shape[-1]
+        attn_out = MultiheadAttention(
+            num_heads=self.num_heads, dtype=self.dtype,
+            param_dtype=self.param_dtype, name="attn",
+        )(LayerNorm(eps=self.norm_eps, name="ln_1")(x), attn_mask=attn_mask,
+          deterministic=deterministic)
+        if self.ls_init_value is not None:
+            attn_out = LayerScale(self.ls_init_value, name="ls_1")(attn_out)
+        x = x + attn_out
+
+        mlp_out = MLP(int(d * self.mlp_ratio), self.act, dtype=self.dtype,
+                      param_dtype=self.param_dtype, name="mlp")(
+            LayerNorm(eps=self.norm_eps, name="ln_2")(x)
+        )
+        if self.ls_init_value is not None:
+            mlp_out = LayerScale(self.ls_init_value, name="ls_2")(mlp_out)
+        return x + mlp_out
+
+
+class Transformer(nn.Module):
+    """Stack of residual attention blocks.
+
+    remat=True wraps each block in jax.checkpoint (the reference's per-block
+    torch.utils.checkpoint, transformer.py:409-412).
+    """
+
+    width: int
+    layers: int
+    heads: int
+    mlp_ratio: float = 4.0
+    ls_init_value: Optional[float] = None
+    act: Callable = gelu_exact
+    norm_eps: float = 1e-5
+    remat: bool = False
+    dtype: Dtype = jnp.float32
+    param_dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, attn_mask=None, deterministic=True,
+                 return_intermediates=False):
+        block_cls = ResidualAttentionBlock
+        if self.remat:
+            block_cls = nn.remat(ResidualAttentionBlock, static_argnums=(3,))
+        intermediates = []
+        for i in range(self.layers):
+            blk = block_cls(
+                num_heads=self.heads, mlp_ratio=self.mlp_ratio,
+                ls_init_value=self.ls_init_value, act=self.act,
+                norm_eps=self.norm_eps, dtype=self.dtype,
+                param_dtype=self.param_dtype, name=f"resblocks_{i}",
+            )
+            if self.remat:
+                x = blk(x, attn_mask, deterministic)
+            else:
+                x = blk(x, attn_mask=attn_mask, deterministic=deterministic)
+            if return_intermediates:
+                intermediates.append(x)
+        if return_intermediates:
+            return x, intermediates
+        return x
+
+
+class AttentionalPooler(nn.Module):
+    """Query-token attention pooling (reference transformer.py:190-211)."""
+
+    d_model: int
+    context_dim: int
+    n_head: int = 8
+    n_queries: int = 256
+    dtype: Dtype = jnp.float32
+    param_dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, deterministic=True):
+        query = self.param(
+            "query", nn.initializers.normal(1.0), (self.n_queries, self.d_model),
+            self.param_dtype,
+        )
+        x = LayerNorm(name="ln_k")(x)
+        q = LayerNorm(name="ln_q")(query.astype(x.dtype))
+        q = jnp.broadcast_to(q[None], (x.shape[0],) + q.shape)
+        return MultiheadAttention(
+            num_heads=self.n_head, kdim=self.context_dim, vdim=self.context_dim,
+            dtype=self.dtype, param_dtype=self.param_dtype, name="attn",
+        )(q, x, x, deterministic=deterministic)
+
+
+def patch_dropout(x, rng, prob: float, exclude_first_token: bool = True):
+    """Randomly keep a subset of tokens (reference transformer.py:48-90).
+
+    Static output shape: keeps ceil((1-prob)*N) tokens chosen by random topk.
+    """
+    if prob <= 0.0:
+        return x
+    if exclude_first_token:
+        cls_tok, rest = x[:, :1], x[:, 1:]
+    else:
+        cls_tok, rest = None, x
+    b, n, _ = rest.shape
+    num_keep = max(1, int(n * (1.0 - prob)))
+    scores = jax.random.normal(rng, (b, n))
+    _, keep_idx = jax.lax.top_k(scores, num_keep)
+    kept = jnp.take_along_axis(rest, keep_idx[..., None], axis=1)
+    if cls_tok is not None:
+        kept = jnp.concatenate([cls_tok, kept], axis=1)
+    return kept

@@ -1,0 +1,171 @@
+"""Vision Transformer tower.
+
+Mirrors the XTag-modified reference VisionTransformer
+(/root/reference/src/open_clip/transformer.py:515-882): patchify -> +cls ->
++pos -> ln_pre -> blocks -> pooled = pool(tokens); ln_post + proj applied to
+the pooled feature AND (when output_tokens) to every token, so the tag head
+cross-attends in embed_dim space.
+
+TPU-first choices: patchify is an explicit reshape + one big matmul (guaranteed
+MXU mapping, no conv lowering), images arrive NHWC, all heavy math runs in the
+module compute dtype (bf16 in production) with fp32 accumulation.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any, Callable, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from xtagclip_tpu.models.layers import (
+    AttentionalPooler,
+    LayerNorm,
+    Transformer,
+    gelu_exact,
+    patch_dropout,
+)
+from xtagclip_tpu.models.pos_embed import get_2d_sincos_pos_embed
+
+Dtype = Any
+
+
+def _to_2tuple(x):
+    return tuple(x) if isinstance(x, (tuple, list)) else (x, x)
+
+
+class VisionTransformer(nn.Module):
+    image_size: Any = 224
+    patch_size: Any = 16
+    width: int = 768
+    layers: int = 12
+    heads: int = 12
+    mlp_ratio: float = 4.0
+    ls_init_value: Optional[float] = None
+    attentional_pool: bool = False
+    attn_pooler_queries: int = 256
+    attn_pooler_heads: int = 8
+    output_dim: int = 512
+    patch_dropout: float = 0.0
+    no_ln_pre: bool = False
+    pos_embed_type: str = "learnable"
+    pool_type: str = "tok"
+    final_ln_after_pool: bool = False
+    act: Callable = gelu_exact
+    norm_eps: float = 1e-5
+    output_tokens: bool = True
+    remat: bool = False
+    dtype: Dtype = jnp.float32
+    param_dtype: Dtype = jnp.float32
+
+    @property
+    def grid_size(self) -> Tuple[int, int]:
+        ih, iw = _to_2tuple(self.image_size)
+        ph, pw = _to_2tuple(self.patch_size)
+        return ih // ph, iw // pw
+
+    def patchify(self, x):
+        """NHWC image -> [B, gh*gw, ph*pw*C] patches (row-major within patch)."""
+        b, h, w, c = x.shape
+        ph, pw = _to_2tuple(self.patch_size)
+        gh, gw = h // ph, w // pw
+        x = x.reshape(b, gh, ph, gw, pw, c)
+        x = x.transpose(0, 1, 3, 2, 4, 5)  # [B, gh, gw, ph, pw, C]
+        return x.reshape(b, gh * gw, ph * pw * c)
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool = True):
+        scale = self.width**-0.5
+        gh, gw = self.grid_size
+        n_tok = gh * gw + 1
+
+        patches = self.patchify(x.astype(self.dtype))
+        x = nn.Dense(
+            self.width, use_bias=False, name="conv1", dtype=self.dtype,
+            param_dtype=self.param_dtype,
+        )(patches)
+
+        class_embedding = self.param(
+            "class_embedding", nn.initializers.normal(scale), (self.width,),
+            self.param_dtype,
+        )
+        cls = jnp.broadcast_to(
+            class_embedding.astype(x.dtype)[None, None], (x.shape[0], 1, self.width)
+        )
+        x = jnp.concatenate([cls, x], axis=1)
+
+        if self.pos_embed_type == "learnable":
+            pos = self.param(
+                "positional_embedding", nn.initializers.normal(scale),
+                (n_tok, self.width), self.param_dtype,
+            )
+        elif self.pos_embed_type == "sin_cos_2d":
+            assert gh == gw, "sin_cos_2d requires square grids"
+            pos = self.param(
+                "positional_embedding",
+                lambda key, shape, dtype: jnp.asarray(
+                    get_2d_sincos_pos_embed(self.width, gh, cls_token=True), dtype
+                ),
+                (n_tok, self.width), self.param_dtype,
+            )
+        else:
+            raise ValueError(self.pos_embed_type)
+        x = x + pos.astype(x.dtype)
+
+        if self.patch_dropout > 0.0 and not deterministic:
+            x = patch_dropout(x, self.make_rng("patch_dropout"), self.patch_dropout)
+
+        if not self.no_ln_pre:
+            x = LayerNorm(eps=self.norm_eps, name="ln_pre")(x)
+
+        x = Transformer(
+            width=self.width, layers=self.layers, heads=self.heads,
+            mlp_ratio=self.mlp_ratio, ls_init_value=self.ls_init_value,
+            act=self.act, norm_eps=self.norm_eps, remat=self.remat,
+            dtype=self.dtype, param_dtype=self.param_dtype, name="transformer",
+        )(x, deterministic=deterministic)
+
+        tokens = x
+        if self.attentional_pool:
+            pooled_ctx = AttentionalPooler(
+                d_model=self.output_dim, context_dim=self.width,
+                n_head=self.attn_pooler_heads, n_queries=self.attn_pooler_queries,
+                dtype=self.dtype, param_dtype=self.param_dtype, name="attn_pool",
+            )(x, deterministic=deterministic)
+            pooled = LayerNorm(eps=self.norm_eps, name="ln_post")(pooled_ctx)[:, 0]
+            proj = self.param(
+                "proj", nn.initializers.normal(scale),
+                (self.output_dim, self.output_dim), self.param_dtype,
+            )
+            return pooled @ proj.astype(pooled.dtype), pooled_ctx
+
+        if self.pool_type == "avg":
+            pooled = tokens[:, 1:].mean(axis=1)
+        elif self.pool_type == "tok":
+            pooled = tokens[:, 0]
+        else:
+            pooled = tokens
+
+        ln_post = LayerNorm(eps=self.norm_eps, name="ln_post")
+        pooled = ln_post(pooled)
+        proj = self.param(
+            "proj", nn.initializers.normal(scale), (self.width, self.output_dim),
+            self.param_dtype,
+        )
+        pooled = jnp.matmul(
+            pooled, proj.astype(pooled.dtype), preferred_element_type=jnp.float32
+        ).astype(pooled.dtype)
+
+        if self.output_tokens:
+            # XTag edit (reference transformer.py:860-876): project every token
+            # into embed_dim space for the tag head.
+            tokens = ln_post(tokens)
+            tokens = jnp.matmul(
+                tokens, proj.astype(tokens.dtype),
+                preferred_element_type=jnp.float32,
+            ).astype(tokens.dtype)
+            return pooled, tokens
+
+        return pooled
