@@ -1,0 +1,110 @@
+"""Device mesh + distributed initialization.
+
+Replaces the reference's torch.distributed runtime (distributed.py:93-195):
+rank/world discovery and process groups become `jax.distributed.initialize()`
+plus one `jax.sharding.Mesh`. Axis names: 'data' for DP (batch + gathered
+negatives ride ICI), optional 'model' for GSPMD tensor sharding of the large
+towers (ViT-H) — free with pjit, no bespoke code.
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+from typing import Optional, Sequence, Tuple
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+DATA_AXIS = "data"
+MODEL_AXIS = "model"
+
+
+def init_distributed(args=None) -> dict:
+    """Multi-host init from env when launched under a multi-process runtime.
+
+    Mirrors init_distributed_device's env sniffing contract: honours
+    coordinator/process-count env vars when present; single-process otherwise.
+    Mutates args.{distributed,world_size,rank,local_rank} when args given
+    (reference distributed.py:93-113 contract).
+    """
+    coord = os.environ.get("JAX_COORDINATOR_ADDRESS") or os.environ.get(
+        "COORDINATOR_ADDRESS"
+    )
+    nproc = os.environ.get("JAX_NUM_PROCESSES") or os.environ.get("WORLD_SIZE")
+    pid = os.environ.get("JAX_PROCESS_ID") or os.environ.get("RANK")
+    if coord and nproc and int(nproc) > 1:
+        jax.distributed.initialize(
+            coordinator_address=coord,
+            num_processes=int(nproc),
+            process_id=int(pid or 0),
+        )
+        logging.info(
+            "jax.distributed initialized: process %d/%d", jax.process_index(),
+            jax.process_count(),
+        )
+    info = {
+        "world_size": jax.device_count(),
+        "local_device_count": jax.local_device_count(),
+        "rank": jax.process_index(),
+        "distributed": jax.device_count() > 1,
+    }
+    if args is not None:
+        args.distributed = info["distributed"]
+        args.world_size = info["world_size"]
+        args.rank = info["rank"]
+        args.local_rank = 0
+    return info
+
+
+def create_mesh(
+    data_parallel: Optional[int] = None,
+    model_parallel: int = 1,
+    devices: Optional[Sequence] = None,
+) -> Mesh:
+    devices = list(devices if devices is not None else jax.devices())
+    n = len(devices)
+    if data_parallel is None:
+        data_parallel = n // model_parallel
+    assert data_parallel * model_parallel == n, (
+        f"{data_parallel}x{model_parallel} != {n} devices"
+    )
+    arr = np.asarray(devices).reshape(data_parallel, model_parallel)
+    return Mesh(arr, (DATA_AXIS, MODEL_AXIS))
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P(DATA_AXIS))
+
+
+def replicated_sharding(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def is_master(args=None) -> bool:
+    return jax.process_index() == 0
+
+
+def world_size() -> int:
+    return jax.device_count()
+
+
+def broadcast_object(obj, src: int = 0):
+    """Host-level object broadcast (reference distributed.py:198-208).
+
+    Single-process: identity. Multi-host: via multihost_utils.
+    """
+    if jax.process_count() == 1:
+        return obj
+    from jax.experimental import multihost_utils
+
+    return multihost_utils.broadcast_one_to_all(obj, jax.process_index() == src)
+
+
+def all_gather_object(obj):
+    if jax.process_count() == 1:
+        return [obj]
+    from jax.experimental import multihost_utils
+
+    return multihost_utils.process_allgather(obj)
