@@ -168,9 +168,9 @@ class CLIP(nn.Module):
         tag_logits = self.tag_forward(image_tokens, deterministic=deterministic)
         tag_local, tag_global = self.prepare_tag_indices(tag_logits)
 
-        if self.use_tagging:
-            assert prompt_table is not None and class_ids is not None, (
-                "use_tagging forward needs prompt_table + class_ids"
+        if self.use_tagging and prompt_table is not None:
+            assert class_ids is not None, (
+                "use_tagging forward needs class_ids alongside prompt_table"
             )
             combo = combo_index(tag_local)
             prompts = prompt_table[template_id, class_ids, combo]  # [B, ctx]

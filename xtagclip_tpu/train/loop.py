@@ -1,0 +1,196 @@
+"""Jitted train steps.
+
+One jit contains the WHOLE step — forward (incl. the on-device tag->prompt
+lookup), losses, backward, optimizer, logit-scale clamp. Data parallelism is
+GSPMD: batch arrays carry a 'data'-sharded NamedSharding, params are
+replicated; XLA inserts the grad all-reduce and the feature all-gathers over
+ICI automatically (equivalent to the reference's DDP + gather_features).
+
+Loss combination mirrors reference train_other.py:117-136:
+total = contrastive + 2*tag(ASL on additional.repeat(1,2)) + 2*(dqncos(i2t)+dqncos(t2i)).
+
+Gradient accumulation reproduces the reference's feature-cache replay
+(train_other.py:140-216): pass 1 caches features across microbatches without
+gradients; pass 2 recomputes each microbatch with gradients against the full
+cached negative set — full-effective-batch negatives, bounded activation
+memory. Both passes are lax.scan's inside the same jit.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Callable, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+
+from xtagclip_tpu.losses import asymmetric_loss, clip_loss, dqncos_loss, siglip_loss
+from xtagclip_tpu.train.train_state import TrainState, apply_gradients
+
+
+def _model_losses(module, params, batch, rngs, args_cfg, prompt_table):
+    """Forward + the XTag loss combination. Returns (total, metrics)."""
+    out = module.apply(
+        {"params": params},
+        batch["images"],
+        text=batch.get("texts"),
+        prompt_table=prompt_table,
+        class_ids=batch.get("class_ids"),
+        template_id=batch.get("template_id", 0),
+        deterministic=False,
+        rngs=rngs,
+    )
+    logit_scale = out["logit_scale"]
+    if args_cfg.get("siglip"):
+        contrastive = siglip_loss(
+            out["image_features"], out["text_features"], logit_scale,
+            out.get("logit_bias"),
+        )
+    else:
+        contrastive = clip_loss(
+            out["image_features"], out["text_features"], logit_scale,
+        )
+    metrics = {"contrastive_loss": contrastive, "logit_scale": logit_scale}
+    total = contrastive
+
+    if args_cfg.get("use_tagging_loss", True) and "additional" in batch:
+        target = jnp.tile(batch["additional"], (1, 2))
+        tag_l = asymmetric_loss(
+            out["tag_logits"], target,
+            gamma_neg=args_cfg.get("asl_gamma_neg", 4),
+            gamma_pos=args_cfg.get("asl_gamma_pos", 1),
+            clip=args_cfg.get("asl_clip", 0.05),
+        )
+        metrics["tagging_loss"] = tag_l
+        total = total + 2.0 * tag_l  # double-added as in train_other.py:135-136
+
+    if out.get("i2t_cls") is not None:
+        ce = dqncos_loss(out["i2t_cls"]) + dqncos_loss(out["t2i_cls"])
+        metrics["ce_loss"] = ce
+        total = total + 2.0 * ce
+
+    metrics["loss"] = total
+    return total, metrics
+
+
+def make_train_step(
+    module,
+    tx,
+    args_cfg: Dict[str, Any],
+    prompt_table=None,
+    donate: bool = True,
+):
+    """Build the jitted single-step update: (state, batch, rng) -> (state, metrics)."""
+
+    def step(state: TrainState, batch, rng):
+        rngs = {"dropout": jax.random.fold_in(rng, state.step)}
+
+        def loss_fn(params):
+            return _model_losses(
+                module, params, batch, rngs, args_cfg, prompt_table
+            )
+
+        (_, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params
+        )
+        new_state = apply_gradients(state, grads, tx)
+        metrics["grad_norm"] = optax_global_norm(grads)
+        return new_state, metrics
+
+    return jax.jit(step, donate_argnums=(0,) if donate else ())
+
+
+def optax_global_norm(tree):
+    leaves = jax.tree_util.tree_leaves(tree)
+    return jnp.sqrt(sum(jnp.sum(jnp.square(x.astype(jnp.float32)))
+                        for x in leaves))
+
+
+def make_accum_train_step(
+    module,
+    tx,
+    args_cfg: Dict[str, Any],
+    accum_freq: int,
+    prompt_table=None,
+):
+    """Feature-cache-replay grad accumulation inside one jit.
+
+    batch arrays are shaped [accum_freq, micro_b, ...].
+    """
+
+    def step(state: TrainState, batch, rng):
+        rngs_base = jax.random.fold_in(rng, state.step)
+
+        def micro(batch_i, i):
+            # scalar leaves (e.g. template_id) are shared across microbatches
+            return jax.tree.map(
+                lambda x: x[i] if jnp.ndim(x) > 0 else x, batch_i
+            )
+
+        # pass 1: cache features (no grad)
+        def cache_one(carry, i):
+            mb = micro(batch, i)
+            out = module.apply(
+                {"params": state.params},
+                mb["images"],
+                text=mb.get("texts"),
+                prompt_table=prompt_table,
+                class_ids=mb.get("class_ids"),
+                template_id=mb.get("template_id", 0),
+                deterministic=False,
+                rngs={"dropout": jax.random.fold_in(rngs_base, i)},
+            )
+            return carry, (out["image_features"], out["text_features"])
+
+        _, (img_f, txt_f) = jax.lax.scan(
+            cache_one, None, jnp.arange(accum_freq)
+        )
+        img_f = jax.lax.stop_gradient(img_f)  # [A, mb, D]
+        txt_f = jax.lax.stop_gradient(txt_f)
+
+        # pass 2: per-microbatch grads vs full cached negatives
+        def grad_one(carry, i):
+            mb = micro(batch, i)
+
+            def loss_fn(params):
+                out = module.apply(
+                    {"params": params},
+                    mb["images"],
+                    text=mb.get("texts"),
+                    prompt_table=prompt_table,
+                    class_ids=mb.get("class_ids"),
+                    template_id=mb.get("template_id", 0),
+                    deterministic=False,
+                    rngs={"dropout": jax.random.fold_in(rngs_base, i)},
+                )
+                # splice this microbatch's live features into the cache
+                a, mbs, d = img_f.shape
+                all_img = img_f.at[i].set(out["image_features"]).reshape(-1, d)
+                all_txt = txt_f.at[i].set(out["text_features"]).reshape(-1, d)
+                contrastive = clip_loss(all_img, all_txt, out["logit_scale"])
+                total = contrastive
+                metrics = {"contrastive_loss": contrastive,
+                           "logit_scale": out["logit_scale"]}
+                if "additional" in mb:
+                    tag_l = asymmetric_loss(
+                        out["tag_logits"], jnp.tile(mb["additional"], (1, 2)),
+                        gamma_neg=args_cfg.get("asl_gamma_neg", 4),
+                        gamma_pos=args_cfg.get("asl_gamma_pos", 1),
+                        clip=args_cfg.get("asl_clip", 0.05),
+                    )
+                    total = total + tag_l
+                    metrics["tagging_loss"] = tag_l
+                metrics["loss"] = total
+                return total, metrics
+
+            (_, m), g = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
+            carry = jax.tree.map(jnp.add, carry, g)
+            return carry, m
+
+        zero = jax.tree.map(jnp.zeros_like, state.params)
+        grads, metrics = jax.lax.scan(grad_one, zero, jnp.arange(accum_freq))
+        metrics = jax.tree.map(lambda x: x.mean(), metrics)
+        new_state = apply_gradients(state, grads, tx)
+        return new_state, metrics
+
+    return jax.jit(step, donate_argnums=(0,))
