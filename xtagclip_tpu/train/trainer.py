@@ -1,0 +1,110 @@
+"""Epoch driver: batch adaptation, template selection, throughput telemetry.
+
+Mirrors reference others/train_other.py:65-287: per-step GT-prompt-template
+selection, XTag loss combo (inside the jitted step), loss meters, samples/s
+and samples/s/device logging every --log-every-n-steps.
+"""
+
+from __future__ import annotations
+
+import logging
+import random
+import time
+from typing import Any, Dict, Optional
+
+import jax
+import numpy as np
+
+from xtagclip_tpu.train.logger import AverageMeter
+
+
+def adapt_batch(batch, use_tagging: bool, template_id: int = 0,
+                prompt_template_setting: Optional[str] = None,
+                rng: Optional[random.Random] = None):
+    """Normalize a dataset batch into the train-step dict.
+
+    Scar batches: (image, label, additional, gt_tokens[B,5,ctx], class_word,
+    class_idx); generic: (image, texts).
+    """
+    if isinstance(batch, (tuple, list)) and len(batch) >= 6:
+        images, label, additional, gt_tokens, class_words, class_idx = batch[:6]
+        # reference train_other.py:97-110: pick one GT prompt variant per step
+        sel = template_id
+        if prompt_template_setting == "total":
+            sel = (rng or random).randint(0, gt_tokens.shape[1] - 1)
+        out = {
+            "images": images,
+            "texts": np.asarray(gt_tokens[:, sel]),
+            "additional": np.asarray(additional),
+            "class_ids": np.asarray(class_idx, np.int32),
+            "template_id": sel,
+        }
+        return out, np.asarray(label), list(class_words)
+    images, texts = batch[:2]
+    return {"images": images, "texts": np.asarray(texts)}, None, None
+
+
+def train_one_epoch(
+    module,
+    state,
+    step_fn,
+    data: Dict[str, Any],
+    epoch: int,
+    args,
+    schedule=None,
+    rng_key=None,
+    train_key: Optional[str] = None,
+):
+    """Run one epoch of jitted steps. Returns (state, epoch_metrics)."""
+    train_key = train_key or ("scar_train" if "scar_train" in data else "train")
+    info = data[train_key]
+    info.set_epoch(epoch)
+    dataloader = info.dataloader
+    num_batches = len(dataloader)
+
+    device_count = jax.device_count()
+    meters: Dict[str, AverageMeter] = {}
+    batch_time = AverageMeter()
+    data_time = AverageMeter()
+    host_rng = random.Random(args.seed + epoch)
+    if rng_key is None:
+        rng_key = jax.random.PRNGKey(args.seed)
+
+    end = time.time()
+    last_metrics = {}
+    for i, batch in enumerate(dataloader):
+        batch_dict, _, _ = adapt_batch(
+            batch,
+            use_tagging=getattr(args, "use_tagging", False),
+            prompt_template_setting=getattr(args, "prompt_template_setting", None),
+            rng=host_rng,
+        )
+        data_time.update(time.time() - end)
+        state, metrics = step_fn(state, batch_dict, rng_key)
+
+        if (i % args.log_every_n_steps) == 0 or i == num_batches - 1:
+            metrics = jax.device_get(metrics)
+            last_metrics = metrics
+            for k, v in metrics.items():
+                meters.setdefault(k, AverageMeter()).update(float(v))
+            batch_time.update(time.time() - end)
+            bsz = int(np.shape(batch_dict["images"])[0])
+            samples_per_s = bsz / max(batch_time.val, 1e-9)
+            lr = float(schedule(int(state.step))) if schedule else float("nan")
+            logging.info(
+                "Train Epoch: %d [%d/%d] loss: %.5g lr: %.3g "
+                "logit_scale: %.3f data: %.3fs batch: %.3fs "
+                "samples/s: %.1f samples/s/device: %.1f",
+                epoch, i, num_batches, float(metrics.get("loss", np.nan)),
+                lr, float(metrics.get("logit_scale", np.nan)),
+                data_time.val, batch_time.val, samples_per_s,
+                samples_per_s / device_count,
+            )
+        end = time.time()
+
+    epoch_metrics = {k: m.avg for k, m in meters.items()}
+    epoch_metrics["samples_per_second"] = (
+        np.shape(batch_dict["images"])[0] / max(batch_time.avg, 1e-9)
+        if num_batches else 0.0
+    )
+    return state, epoch_metrics
