@@ -126,6 +126,24 @@ def convert_openclip_state_dict(
     position_ids) are dropped, mirroring reference load_checkpoint surgery."""
     sd = normalize_to_custom_text(sd)
     tree: Dict[str, Any] = {}
+
+    # timm trunk / HF bert groups are converted wholesale up front
+    if any(k.startswith("visual.trunk.") for k in sd):
+        from xtagclip_tpu.convert.timm_convert import convert_timm_vit_state_dict
+
+        tree.setdefault("visual", {})["trunk"] = convert_timm_vit_state_dict(
+            sd, prefix="visual.trunk."
+        )
+        sd = {k: v for k, v in sd.items() if not k.startswith("visual.trunk.")}
+    if any(k.startswith("text.transformer.embeddings.") for k in sd):
+        from xtagclip_tpu.convert.hf_bert import convert_hf_bert_state_dict
+
+        tree.setdefault("text", {})["transformer"] = convert_hf_bert_state_dict(
+            sd, prefix="text.transformer."
+        )
+        sd = {k: v for k, v in sd.items()
+              if not k.startswith("text.transformer.")}
+
     for k, v in sd.items():
         if k.endswith(("attn_mask", "position_ids")):
             continue
@@ -134,6 +152,28 @@ def convert_openclip_state_dict(
             continue
         if k == "logit_bias":
             _set(tree, ("logit_bias",), v.reshape(()))
+            continue
+
+        # ----- timm vision head (BiomedCLIP: visual.head.*)
+        if k.startswith("visual.head."):
+            rest = k[len("visual.head.") :]
+            if rest.startswith("proj."):
+                _linear(tree, ("visual", "head_proj"), rest.split(".")[1], v)
+            elif rest.startswith("mlp.fc1."):
+                _linear(tree, ("visual", "head_mlp_fc1"), rest.split(".")[2], v)
+            elif rest.startswith("mlp.fc2."):
+                _linear(tree, ("visual", "head_mlp_fc2"), rest.split(".")[2], v)
+            continue
+
+        # ----- HF text proj (BiomedCLIP: text.proj.*)
+        if k.startswith("text.proj."):
+            rest = k[len("text.proj.") :]
+            if rest.startswith("0."):
+                _linear(tree, ("text", "proj_fc1"), rest.split(".")[1], v)
+            elif rest.startswith("2."):
+                _linear(tree, ("text", "proj_fc2"), rest.split(".")[1], v)
+            elif rest in ("weight", "bias"):
+                _linear(tree, ("text", "proj"), rest, v)
             continue
 
         # ----- vision tower -----

@@ -42,6 +42,10 @@ def _rescan_model_configs():
     for f in Path(cfg_dir).glob("*.json"):
         with open(f) as fh:
             cfg = json.load(fh)
+        if "model_cfg" in cfg:  # nested schema (e.g. BiomedCLIP hub config)
+            flat = dict(cfg["model_cfg"])
+            flat["preprocess_cfg"] = cfg.get("preprocess_cfg", {})
+            cfg = flat
         if all(k in cfg for k in ("embed_dim", "vision_cfg", "text_cfg")):
             configs[f.stem] = cfg
     _MODEL_CONFIGS = {
