@@ -182,7 +182,7 @@ def main(argv=None):
         weight_decay=args.wd, grad_clip_norm=args.grad_clip_norm,
         params=params, train_mask=mask,
     )
-    state = create_train_state(params, tx)
+    state = create_train_state(params, tx, extra_vars=bundle.extra_variables)
 
     start_epoch = 0
     if args.resume:
@@ -241,8 +241,9 @@ def main(argv=None):
     if train_key is None:
         # eval-only (reference main_other.py:561-568)
         metrics = zero_shot_eval(
-            bundle.module, state.params, data, 0, args, tokenizer,
-            prompt_table=prompt_table,
+            bundle.module,
+            {"params": state.params, **(state.extra_vars or {})},
+            data, 0, args, tokenizer, prompt_table=prompt_table,
         )
         logging.info("eval: %s", json.dumps(metrics, default=float))
         return metrics
@@ -259,8 +260,9 @@ def main(argv=None):
         eval_metrics = {}
         if completed % args.val_frequency == 0 or completed == args.epochs:
             eval_metrics = zero_shot_eval(
-                bundle.module, state.params, data, completed, args, tokenizer,
-                prompt_table=prompt_table,
+                bundle.module,
+                {"params": state.params, **(state.extra_vars or {})},
+                data, completed, args, tokenizer, prompt_table=prompt_table,
             )
             logging.info("Eval epoch %d: %s", completed,
                          json.dumps(eval_metrics, default=float))

@@ -86,7 +86,11 @@ def get_input_dtype(precision: str):
 
 @dataclass
 class ModelBundle:
-    """A built model: module definition + parameter pytree + metadata."""
+    """A built model: module definition + parameter pytree + metadata.
+
+    extra_variables carries non-param collections (BatchNorm batch_stats for
+    ResNet towers); empty for pure-transformer models.
+    """
 
     module: Any
     params: Any
@@ -94,21 +98,29 @@ class ModelBundle:
     model_name: str
     preprocess_cfg: dict = field(default_factory=dict)
     quick_gelu: bool = False
+    extra_variables: dict = field(default_factory=dict)
 
-    def apply(self, *args, method=None, rngs=None, **kwargs):
-        variables = {"params": self.params}
-        return self.module.apply(variables, *args, method=method, rngs=rngs, **kwargs)
+    def _variables(self, params=None):
+        return {
+            "params": params if params is not None else self.params,
+            **self.extra_variables,
+        }
+
+    def apply(self, *args, method=None, rngs=None, params=None, **kwargs):
+        return self.module.apply(
+            self._variables(params), *args, method=method, rngs=rngs, **kwargs
+        )
 
     def encode_image(self, images, normalize=True, params=None):
-        variables = {"params": params if params is not None else self.params}
         return self.module.apply(
-            variables, images, normalize, method=self.module.encode_image
+            self._variables(params), images, normalize,
+            method=self.module.encode_image,
         )
 
     def encode_text(self, text, normalize=True, params=None):
-        variables = {"params": params if params is not None else self.params}
         return self.module.apply(
-            variables, jnp.asarray(text), normalize, method=self.module.encode_text
+            self._variables(params), jnp.asarray(text), normalize,
+            method=self.module.encode_text,
         )
 
 
@@ -262,6 +274,7 @@ def create_model(
     )
 
     params = None
+    extra = {}
     if not skip_init:
         image_size = cfg["vision_cfg"].get("image_size", 224)
         if isinstance(image_size, (tuple, list)):
@@ -271,10 +284,12 @@ def create_model(
         ctx = cfg["text_cfg"].get("context_length", 77)
         dummy_img = jnp.zeros((1, ih, iw, 3), cast_dtype)
         dummy_txt = jnp.zeros((1, ctx), jnp.int32)
-        params = module.init(
+        variables = module.init(
             jax.random.PRNGKey(init_seed), dummy_img, dummy_txt,
             deterministic=True,
-        )["params"]
+        )
+        params = variables["params"]
+        extra = {k: v for k, v in variables.items() if k != "params"}
 
     bundle = ModelBundle(
         module=module,
@@ -283,6 +298,7 @@ def create_model(
         model_name=model_name,
         quick_gelu=quick,
         preprocess_cfg=dict(cfg.get("preprocess_cfg", {})),
+        extra_variables=extra,
     )
 
     if pretrained:

@@ -28,10 +28,13 @@ from xtagclip_tpu.losses import asymmetric_loss, clip_loss, dqncos_loss, siglip_
 from xtagclip_tpu.train.train_state import TrainState, apply_gradients
 
 
-def _model_losses(module, params, batch, rngs, args_cfg, prompt_table):
-    """Forward + the XTag loss combination. Returns (total, metrics)."""
+def _model_losses(module, params, batch, rngs, args_cfg, prompt_table,
+                  extra_vars=None):
+    """Forward + the XTag loss combination. Returns (total, (metrics, vars))."""
+    variables = {"params": params, **(extra_vars or {})}
+    mutable = list(extra_vars) if extra_vars else False
     out = module.apply(
-        {"params": params},
+        variables,
         batch["images"],
         text=batch.get("texts"),
         prompt_table=prompt_table,
@@ -39,7 +42,11 @@ def _model_losses(module, params, batch, rngs, args_cfg, prompt_table):
         template_id=batch.get("template_id", 0),
         deterministic=False,
         rngs=rngs,
+        mutable=mutable,
     )
+    new_vars = {}
+    if mutable:
+        out, new_vars = out
     logit_scale = out["logit_scale"]
     if args_cfg.get("siglip"):
         contrastive = siglip_loss(
@@ -70,7 +77,7 @@ def _model_losses(module, params, batch, rngs, args_cfg, prompt_table):
         total = total + 2.0 * ce
 
     metrics["loss"] = total
-    return total, metrics
+    return total, (metrics, new_vars)
 
 
 def make_train_step(
@@ -87,13 +94,16 @@ def make_train_step(
 
         def loss_fn(params):
             return _model_losses(
-                module, params, batch, rngs, args_cfg, prompt_table
+                module, params, batch, rngs, args_cfg, prompt_table,
+                extra_vars=state.extra_vars,
             )
 
-        (_, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            state.params
-        )
+        (_, (metrics, new_vars)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(state.params)
         new_state = apply_gradients(state, grads, tx)
+        if new_vars:
+            new_state = new_state.replace(extra_vars=new_vars)
         metrics["grad_norm"] = optax_global_norm(grads)
         return new_state, metrics
 

@@ -158,16 +158,18 @@ class TrainState:
     step: jnp.ndarray
     params: Any
     opt_state: Any
+    extra_vars: Any  # non-param collections (e.g. BatchNorm batch_stats)
 
     def replace(self, **kw):
         return dc_replace(self, **kw)
 
 
-def create_train_state(params, tx) -> TrainState:
+def create_train_state(params, tx, extra_vars=None) -> TrainState:
     return TrainState(
         step=jnp.zeros((), jnp.int32),
         params=params,
         opt_state=tx.init(params),
+        extra_vars=extra_vars or {},
     )
 
 

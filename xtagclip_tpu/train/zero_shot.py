@@ -17,6 +17,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from xtagclip_tpu.utils import as_variables
+
 from xtagclip_tpu.train import metadata
 from xtagclip_tpu.train.metadata import format_template
 from xtagclip_tpu.train.metrics import (
@@ -47,7 +49,7 @@ def build_zero_shot_classifier(
     @jax.jit
     def encode(tokens):
         feats, _ = module.apply(
-            {"params": params}, tokens, True, method=module.encode_text
+            as_variables(params), tokens, True, method=module.encode_text
         )
         return feats
 
@@ -90,13 +92,13 @@ def run_scar_eval(
     @jax.jit
     def forward(params, images):
         img_feat, tokens = module.apply(
-            {"params": params}, images, True, method=module.encode_image
+            as_variables(params), images, True, method=module.encode_image
         )
         tag_logits = module.apply(
-            {"params": params}, tokens, method=module.tag_forward
+            as_variables(params), tokens, method=module.tag_forward
         )
         _, tag_global = module.apply(
-            {"params": params}, tag_logits,
+            as_variables(params), tag_logits,
             method=lambda m, x: m.prepare_tag_indices(x),
         )
         logits = 100.0 * img_feat @ classifier
@@ -208,7 +210,7 @@ def run_classification_eval(module, params, classifier, dataloader):
     @jax.jit
     def forward(params, images):
         feats, _ = module.apply(
-            {"params": params}, images, True, method=module.encode_image
+            as_variables(params), images, True, method=module.encode_image
         )
         return 100.0 * feats @ classifier
 
