@@ -141,12 +141,15 @@ def main(argv=None):
     params = shard_params(bundle.params, mesh)
 
     # data
+    # reference main_other.py:473-486: bare try get_data, fall back to the
+    # scar/PathMNIST/MedicalMNIST dispatch on any failure
     try:
         data = get_data(
             args, (preprocess_train, preprocess_val), epoch=0,
             tokenizer=tokenizer,
         )
-    except (ValueError, AssertionError):
+    except Exception as e:  # noqa: BLE001
+        logging.info("get_data failed (%s); trying get_data_other", e)
         data = get_data_other(
             args, (preprocess_train, preprocess_val), epoch=0,
             tokenizer=tokenizer,
