@@ -83,6 +83,7 @@ def run_scar_eval(
     save_embed: bool = False,
     save_embed_path: Optional[str] = None,
     tagging_output_path: Optional[str] = None,
+    class_output_path: Optional[str] = None,
     classnames: Optional[Sequence[str]] = None,
 ):
     """Eval loop over a Scar-style loader (image, label, additional, tokens,
@@ -111,6 +112,7 @@ def run_scar_eval(
     all_img_feats = []
     all_labels = []
     tag_lines = []
+    class_lines = []
     tag_metric_accum = []
 
     for batch in dataloader:
@@ -137,6 +139,15 @@ def run_scar_eval(
             for row in np.asarray(additional)
         ]
         tag_lines.extend(f"{g} - {p}" for g, p in zip(gt_words, pred_words))
+
+        if class_output_path:
+            names = list(classnames or [str(i) for i in
+                                        range(logits.shape[1])])
+            for row_logits, row_label in zip(logits, np.asarray(label_vec)):
+                gt_name = names[int(np.argmax(row_label))]
+                pred_name = names[int(np.argmax(row_logits))]
+                scores = ", ".join(f"{s:.6f}" for s in row_logits.tolist())
+                class_lines.append(f"{gt_name} - {pred_name} - [{scores}]")
 
         if save_embed:
             all_img_feats.append(np.asarray(img_feat))
@@ -170,6 +181,11 @@ def run_scar_eval(
         metrics[f"tag_{g.lower().replace(' ', '_')}_f1"] = wavg(
             ("groups", g, "f1")
         )
+
+    if class_output_path and class_lines:
+        with open(class_output_path, "w") as f:
+            f.write("\n".join(class_lines) + "\n")
+            f.write(f"\n전체 정확도: {metrics['top1']:.4f}\n")
 
     if tagging_output_path:
         with open(tagging_output_path, "w") as f:
@@ -239,10 +255,13 @@ def zero_shot_eval(module, params, data: dict, epoch: int, args, tokenizer,
             module, params, tokenizer, classnames, templates
         )
         if key == "scar_val":
-            out_txt = None
+            out_txt = cls_txt = None
             if getattr(args, "checkpoint_path", None):
                 out_txt = os.path.join(
                     args.checkpoint_path, "val_data_tagging_output.txt"
+                )
+                cls_txt = os.path.join(
+                    args.checkpoint_path, "val_data_class_output.txt"
                 )
             m = run_scar_eval(
                 module, params, classifier, data[key].dataloader,
@@ -253,6 +272,7 @@ def zero_shot_eval(module, params, data: dict, epoch: int, args, tokenizer,
                     if getattr(args, "name", None) else None
                 ),
                 tagging_output_path=out_txt,
+                class_output_path=cls_txt,
                 classnames=classnames,
             )
             results.update({f"{key}-{k}": v for k, v in m.items()})
