@@ -302,11 +302,44 @@ def create_model(
     )
 
     if pretrained:
+        import os
+
         from xtagclip_tpu.convert.loader import load_checkpoint_into
 
-        load_checkpoint_into(bundle, pretrained)
+        if pretrained == "openai":
+            from xtagclip_tpu.pretrained import resolve_pretrained
+
+            path = resolve_pretrained(model_name, pretrained)
+            from xtagclip_tpu.convert.openai import load_openai_state_dict
+            from xtagclip_tpu.convert.loader import merge_converted_params
+            from xtagclip_tpu.convert.openclip import convert_openclip_state_dict
+
+            sd = load_openai_state_dict(path)
+            bundle.params = merge_converted_params(
+                bundle.params, convert_openclip_state_dict(sd)
+            )
+        else:
+            if not os.path.exists(pretrained):
+                from xtagclip_tpu.pretrained import resolve_pretrained
+
+                pretrained = resolve_pretrained(model_name, pretrained)
+            load_checkpoint_into(bundle, pretrained)
 
     return bundle
+
+
+def create_model_from_pretrained(
+    model_name: str,
+    pretrained: Optional[str] = None,
+    **kwargs,
+):
+    """Reference factory.py:536-586 surface: returns (bundle, eval_transform)."""
+    if model_name.startswith("hf-hub:"):
+        model_name = model_name[len("hf-hub:"):].split("/")[-1]
+    bundle, _, eval_t = create_model_and_transforms(
+        model_name, pretrained, **kwargs
+    )
+    return bundle, eval_t
 
 
 def create_model_and_transforms(

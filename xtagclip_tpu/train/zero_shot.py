@@ -85,10 +85,21 @@ def run_scar_eval(
     tagging_output_path: Optional[str] = None,
     class_output_path: Optional[str] = None,
     classnames: Optional[Sequence[str]] = None,
+    fusion_scoring: bool = False,
 ):
     """Eval loop over a Scar-style loader (image, label, additional, tokens,
-    class_word, class_idx). Returns metrics dict."""
+    class_word, class_idx). Returns metrics dict.
+
+    fusion_scoring applies the fusion-aware similarity
+    (train_other_simple.py:442-455): 100 * (cos(mean_tokens, W) +
+    mean_over_tokens cos(token_l, W)) / 2 — pure jnp on device, replacing the
+    reference's sklearn-on-CPU path.
+    """
     tag_list = read_tag_list()
+
+    def _l2(x):
+        return x / jnp.maximum(jnp.linalg.norm(x, axis=-1, keepdims=True),
+                               1e-12)
 
     @jax.jit
     def forward(params, images):
@@ -102,7 +113,12 @@ def run_scar_eval(
             as_variables(params), tag_logits,
             method=lambda m, x: m.prepare_tag_indices(x),
         )
-        logits = 100.0 * img_feat @ classifier
+        if fusion_scoring:
+            g_sim = _l2(tokens.mean(axis=1)) @ classifier
+            l_sim = (_l2(tokens) @ classifier).mean(axis=1)
+            logits = 100.0 * (g_sim + l_sim) / 2.0
+        else:
+            logits = 100.0 * img_feat @ classifier
         return img_feat, logits, tag_global
 
     n = 0
@@ -274,6 +290,7 @@ def zero_shot_eval(module, params, data: dict, epoch: int, args, tokenizer,
                 tagging_output_path=out_txt,
                 class_output_path=cls_txt,
                 classnames=classnames,
+                fusion_scoring=getattr(args, "use_fusion", False),
             )
             results.update({f"{key}-{k}": v for k, v in m.items()})
         else:
