@@ -1,0 +1,66 @@
+"""CoCa: build, forward dict contract, caption loss, generation."""
+
+import json
+import os
+import tempfile
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from xtagclip_tpu.factory import add_model_config, create_model
+from xtagclip_tpu.losses.coca import CoCaLoss
+
+CFG = dict(
+    embed_dim=64,
+    vision_cfg=dict(layers=2, width=64, head_width=32, patch_size=8,
+                    image_size=32, attentional_pool=True,
+                    attn_pooler_queries=16, attn_pooler_heads=4),
+    text_cfg=dict(context_length=12, vocab_size=200, width=64, heads=4,
+                  layers=2, embed_cls=True, output_tokens=True),
+    multimodal_cfg=dict(context_length=12, vocab_size=200, width=64, heads=4,
+                        layers=2),
+)
+
+
+@pytest.fixture(scope="module")
+def coca_bundle():
+    with tempfile.NamedTemporaryFile("w", suffix=".json", prefix="tinycoca-",
+                                     delete=False) as f:
+        json.dump(CFG, f)
+        path = f.name
+    add_model_config(path)
+    return create_model(os.path.basename(path)[:-5])
+
+
+def test_coca_forward_contract(coca_bundle, rng):
+    img = jnp.asarray(rng.standard_normal((2, 32, 32, 3), dtype=np.float32))
+    txt = jnp.asarray(rng.integers(1, 200, size=(2, 12)).astype(np.int32))
+    out = coca_bundle.apply(img, txt)
+    assert out["image_features"].shape == (2, 64)
+    assert out["text_features"].shape == (2, 64)
+    assert out["logits"].shape == (2, 11, 200)  # teacher forcing drops last
+    assert out["labels"].shape == (2, 11)
+
+    loss = CoCaLoss(caption_loss_weight=2.0, clip_loss_weight=1.0)
+    d = loss(out["image_features"], out["text_features"], out["logits"],
+             out["labels"], out["logit_scale"], output_dict=True)
+    assert np.isfinite(float(d["contrastive_loss"]))
+    assert np.isfinite(float(d["caption_loss"]))
+
+
+@pytest.mark.parametrize("gen_type", ["top_k", "top_p", "beam_search"])
+def test_coca_generation(coca_bundle, rng, gen_type):
+    from xtagclip_tpu.models.coca import generate
+
+    img = jnp.asarray(rng.standard_normal((2, 32, 32, 3), dtype=np.float32))
+    out = generate(
+        coca_bundle.module, coca_bundle.params, img, seq_len=8,
+        max_seq_len=12, generation_type=gen_type, top_k=3, top_p=0.9,
+        min_seq_len=2, num_beams=3, sot_token_id=198, eos_token_id=199,
+    )
+    assert out.shape[0] == 2
+    assert out.shape[1] <= 8
+    assert (out[:, 0] == 198).all()

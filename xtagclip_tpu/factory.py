@@ -260,6 +260,54 @@ def create_model(
         cfg["embed_dim"], cfg["text_cfg"], quick, cast_dtype, param_dtype,
         remat=grad_checkpointing,
     )
+    if "multimodal_cfg" in cfg:  # CoCa family (factory.py:347-348 dispatch)
+        from xtagclip_tpu.models.coca import CoCa, MultimodalTransformer
+        from xtagclip_tpu.models.layers import gelu_exact as _gelu
+
+        m = cfg["multimodal_cfg"]
+        decoder = MultimodalTransformer(
+            width=m.get("width", 512), layers=m.get("layers", 12),
+            heads=m.get("heads", 8),
+            context_length=m.get("context_length", 76),
+            mlp_ratio=m.get("mlp_ratio", 4.0),
+            ls_init_value=m.get("ls_init_value"),
+            output_dim=cfg["text_cfg"].get("vocab_size", 49408),
+            act=quick_gelu if quick else _gelu,
+            dtype=cast_dtype, param_dtype=param_dtype, name="text_decoder",
+        )
+        module = CoCa(
+            visual=visual, text=text, text_decoder=decoder,
+            embed_dim=cfg["embed_dim"],
+            init_logit_scale=cfg.get("init_logit_scale",
+                                     float(np.log(1 / 0.07))),
+            init_logit_bias=cfg.get("init_logit_bias"),
+            dtype=cast_dtype, param_dtype=param_dtype,
+        )
+        params = None
+        extra = {}
+        if not skip_init:
+            image_size = cfg["vision_cfg"].get("image_size", 224)
+            ih = iw = image_size if isinstance(image_size, int) else image_size[0]
+            ctx = cfg["text_cfg"].get("context_length", 76)
+            variables = module.init(
+                jax.random.PRNGKey(init_seed),
+                jnp.zeros((1, ih, iw, 3), cast_dtype),
+                jnp.zeros((1, ctx), jnp.int32),
+            )
+            params = variables["params"]
+            extra = {k: v for k, v in variables.items() if k != "params"}
+        bundle = ModelBundle(
+            module=module, params=params, model_cfg=cfg,
+            model_name=model_name, quick_gelu=quick,
+            preprocess_cfg=dict(cfg.get("preprocess_cfg", {})),
+            extra_variables=extra,
+        )
+        if pretrained:
+            from xtagclip_tpu.convert.loader import load_checkpoint_into
+
+            load_checkpoint_into(bundle, pretrained)
+        return bundle
+
     module = CLIP(
         visual=visual,
         text=text,

@@ -203,24 +203,35 @@ class MLP(nn.Module):
 
 
 class ResidualAttentionBlock(nn.Module):
-    """Pre-norm transformer block (reference transformer.py:213-269)."""
+    """Pre-norm transformer block (reference transformer.py:213-269).
+
+    is_cross_attention adds an ln_1_kv over the key/value stream (the CoCa
+    multimodal decoder's cross-attn block)."""
 
     num_heads: int
     mlp_ratio: float = 4.0
     ls_init_value: Optional[float] = None
     act: Callable = gelu_exact
     norm_eps: float = 1e-5
+    is_cross_attention: bool = False
     dtype: Dtype = jnp.float32
     param_dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x, attn_mask=None, deterministic=True):
+    def __call__(self, x, k_x=None, v_x=None, attn_mask=None,
+                 deterministic=True):
         d = x.shape[-1]
+        if self.is_cross_attention and k_x is not None:
+            kv_norm = LayerNorm(eps=self.norm_eps, name="ln_1_kv")
+            k_in = kv_norm(k_x)
+            v_in = kv_norm(v_x if v_x is not None else k_x)
+        else:
+            k_in = v_in = None
         attn_out = MultiheadAttention(
             num_heads=self.num_heads, dtype=self.dtype,
             param_dtype=self.param_dtype, name="attn",
-        )(LayerNorm(eps=self.norm_eps, name="ln_1")(x), attn_mask=attn_mask,
-          deterministic=deterministic)
+        )(LayerNorm(eps=self.norm_eps, name="ln_1")(x), k_in, v_in,
+          attn_mask=attn_mask, deterministic=deterministic)
         if self.ls_init_value is not None:
             attn_out = LayerScale(self.ls_init_value, name="ls_1")(attn_out)
         x = x + attn_out

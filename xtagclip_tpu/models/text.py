@@ -70,7 +70,10 @@ class TextTransformer(nn.Module):
         )
         x = token_embedding(text)
 
-        attn_mask = None if self.no_causal_mask else build_causal_mask(num_pos)
+        seq_len = text.shape[1] + (1 if self.embed_cls else 0)
+        attn_mask = None if self.no_causal_mask else (
+            build_causal_mask(num_pos)[:seq_len, :seq_len]
+        )
 
         if self.embed_cls:
             cls_emb = self.param(

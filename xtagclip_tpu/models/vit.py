@@ -129,17 +129,20 @@ class VisionTransformer(nn.Module):
 
         tokens = x
         if self.attentional_pool:
+            # upstream bool-attentional_pool path: attn_pool -> ln_post ->
+            # tok-pool -> proj; tokens = remaining (ln_post'd) query outputs
             pooled_ctx = AttentionalPooler(
                 d_model=self.output_dim, context_dim=self.width,
                 n_head=self.attn_pooler_heads, n_queries=self.attn_pooler_queries,
                 dtype=self.dtype, param_dtype=self.param_dtype, name="attn_pool",
             )(x, deterministic=deterministic)
-            pooled = LayerNorm(eps=self.norm_eps, name="ln_post")(pooled_ctx)[:, 0]
+            normed = LayerNorm(eps=self.norm_eps, name="ln_post")(pooled_ctx)
+            pooled, tokens = normed[:, 0], normed[:, 1:]
             proj = self.param(
                 "proj", nn.initializers.normal(scale),
                 (self.output_dim, self.output_dim), self.param_dtype,
             )
-            return pooled @ proj.astype(pooled.dtype), pooled_ctx
+            return pooled @ proj.astype(pooled.dtype), tokens
 
         if self.pool_type == "avg":
             pooled = tokens[:, 1:].mean(axis=1)
