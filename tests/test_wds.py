@@ -1,0 +1,106 @@
+"""Tar-shard pipeline: brace expansion, corrupt-sample tolerance,
+deterministic epoch shuffle, node splitting, end-to-end CLI training."""
+
+import io
+import os
+import tarfile
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from xtagclip_tpu.data.wds import (
+    WdsConfig,
+    WebDatasetReader,
+    WdsLoader,
+    expand_urls,
+    get_dataset_size,
+)
+
+
+def _make_shard(path, n, prefix, corrupt_member=False):
+    with tarfile.open(path, "w") as tf:
+        for i in range(n):
+            key = f"{prefix}{i:04d}"
+            img = Image.fromarray(
+                (np.random.default_rng(i).random((16, 16, 3)) * 255)
+                .astype("uint8")
+            )
+            buf = io.BytesIO()
+            img.save(buf, "PNG")
+            data = buf.getvalue()
+            info = tarfile.TarInfo(f"{key}.png")
+            info.size = len(data)
+            tf.addfile(info, io.BytesIO(data))
+            cap = f"caption {prefix}{i}".encode()
+            info = tarfile.TarInfo(f"{key}.txt")
+            info.size = len(cap)
+            tf.addfile(info, io.BytesIO(cap))
+        if corrupt_member:
+            bad = b"not an image"
+            info = tarfile.TarInfo("broken.png")
+            info.size = len(bad)
+            tf.addfile(info, io.BytesIO(bad))
+            capb = b"broken caption"
+            info = tarfile.TarInfo("broken.txt")
+            info.size = len(capb)
+            tf.addfile(info, io.BytesIO(capb))
+
+
+@pytest.fixture(scope="module")
+def shards(tmp_path_factory):
+    d = tmp_path_factory.mktemp("wds")
+    for s in range(3):
+        _make_shard(str(d / f"data-{s:04d}.tar"), 8, f"s{s}-",
+                    corrupt_member=(s == 1))
+    return str(d)
+
+
+def test_expand_urls():
+    out = expand_urls("/x/data-{0000..0002}.tar")
+    assert out == ["/x/data-0000.tar", "/x/data-0001.tar", "/x/data-0002.tar"]
+    assert expand_urls("a.tar::b.tar") == ["a.tar", "b.tar"]
+
+
+def test_reader_and_corruption_tolerance(shards):
+    paths = expand_urls(os.path.join(shards, "data-{0000..0002}.tar"))
+    reader = WebDatasetReader(WdsConfig(shards=paths, seed=3))
+    samples = list(reader)
+    assert len(samples) == 25  # 24 good + 1 'broken' key yielded raw
+    # determinism per epoch
+    r2 = WebDatasetReader(WdsConfig(shards=paths, seed=3))
+    assert [s[0] for s in r2] == [s[0] for s in samples]
+    reader.set_epoch(1)
+    assert [s[0] for s in reader] != [s[0] for s in samples]
+
+
+def test_node_split(shards):
+    paths = expand_urls(os.path.join(shards, "data-{0000..0002}.tar"))
+    seen = []
+    for rank in range(3):
+        r = WebDatasetReader(WdsConfig(shards=paths, seed=0, rank=rank,
+                                       world_size=3))
+        seen.append({s[0].split("-")[0] for s in r})
+    assert set.union(*seen) == {"s0", "s1", "s2", "broken"} - {"broken"} | (
+        set.union(*seen) & {"broken"}
+    )
+    # each rank gets exactly one shard's keys
+    assert all(len({k for k in s if k.startswith("s")}) == 1 for s in seen)
+
+
+def test_wds_loader_batches(shards):
+    from xtagclip_tpu.data.transforms import PreprocessCfg, image_transform_eval
+    from xtagclip_tpu.tokenize.bpe import SimpleTokenizer
+
+    paths = expand_urls(os.path.join(shards, "data-{0000..0002}.tar"))
+    loader = WdsLoader(
+        WebDatasetReader(WdsConfig(shards=paths)),
+        image_transform_eval(PreprocessCfg(size=16)),
+        SimpleTokenizer(),
+        batch_size=4, num_batches=7, shuffle_buffer=8,
+    )
+    batches = list(loader)
+    assert len(batches) == 7  # loops shards to fill (infinite-stream contract)
+    imgs, txts = batches[0]
+    assert imgs.shape == (4, 16, 16, 3)
+    assert txts.shape == (4, 77)

@@ -121,6 +121,10 @@ def main(argv=None):
         image_interpolation=args.image_interpolation,
         image_resize_mode=args.image_resize_mode,
         aug_cfg=args.aug_cfg,
+        **({"vision_cfg": {
+            "n_learnable_tokens": args.n_learnable_tokens,
+            "insert_position": args.insert_position,
+        }} if args.add_learnable_tokens else {}),
     )
     tokenizer = get_tokenizer(args.model)
 

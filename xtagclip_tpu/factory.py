@@ -163,6 +163,8 @@ def _build_vision_tower(embed_dim: int, vision_cfg: dict, quick: bool,
         final_ln_after_pool=v.get("final_ln_after_pool", False),
         pool_type=v.get("pool_type", "tok"),
         output_tokens=True,
+        n_learnable_tokens=v.get("n_learnable_tokens", 0),
+        insert_position=v.get("insert_position", 1),
         output_dim=embed_dim,
         act=act,
         norm_eps=norm_eps,
@@ -250,7 +252,10 @@ def create_model(
     )
 
     for k, v in model_kwargs.items():
-        cfg[k] = v
+        if k in ("vision_cfg", "text_cfg") and isinstance(v, dict):
+            cfg[k].update(v)  # merge tower overrides (learnable tokens etc.)
+        else:
+            cfg[k] = v
 
     visual = _build_vision_tower(
         cfg["embed_dim"], cfg["vision_cfg"], quick, cast_dtype, param_dtype,

@@ -57,6 +57,11 @@ class VisionTransformer(nn.Module):
     norm_eps: float = 1e-5
     output_tokens: bool = True
     remat: bool = False
+    # learnable prompt-token injection (legacy others/transformer.py:549-558,
+    # :642-644 — the --add-learnable-tokens capability): n extra learned
+    # tokens spliced into the sequence at insert_position.
+    n_learnable_tokens: int = 0
+    insert_position: int = 1
     dtype: Dtype = jnp.float32
     param_dtype: Dtype = jnp.float32
 
@@ -113,6 +118,18 @@ class VisionTransformer(nn.Module):
         else:
             raise ValueError(self.pos_embed_type)
         x = x + pos.astype(x.dtype)
+
+        if self.n_learnable_tokens > 0:
+            extra = self.param(
+                "learnable_tokens", nn.initializers.normal(scale),
+                (self.n_learnable_tokens, self.width), self.param_dtype,
+            )
+            extra = jnp.broadcast_to(
+                extra.astype(x.dtype)[None],
+                (x.shape[0], self.n_learnable_tokens, self.width),
+            )
+            pos_i = self.insert_position
+            x = jnp.concatenate([x[:, :pos_i], extra, x[:, pos_i:]], axis=1)
 
         if self.patch_dropout > 0.0 and not deterministic:
             x = patch_dropout(x, self.make_rng("patch_dropout"), self.patch_dropout)
