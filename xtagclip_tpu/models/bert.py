@@ -15,7 +15,7 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from xtagclip_tpu.models.layers import LayerNorm, gelu_exact
+from xtagclip_tpu.models.layers import LayerNorm, fused_attention, gelu_exact
 
 Dtype = Any
 
@@ -34,24 +34,15 @@ class BertSelfAttentionLayer(nn.Module):
         dense = lambda f, name: nn.Dense(f, name=name, dtype=self.dtype,
                                          param_dtype=self.param_dtype)
         q, k, v = dense(h, "query")(x), dense(h, "key")(x), dense(h, "value")(x)
-        b, l, _ = x.shape
-
-        def split(t):
-            return t.reshape(b, l, nh, dh).transpose(0, 2, 1, 3)
-
-        scores = jnp.einsum(
-            "bhqd,bhkd->bhqk", split(q), split(k),
-            preferred_element_type=jnp.float32,
-        ) * dh**-0.5
-        if mask is not None:
-            scores = scores + mask
-        probs = jax.nn.softmax(scores, axis=-1)
-        probs = nn.Dropout(self.dropout)(probs, deterministic=deterministic)
-        ctx = jnp.einsum(
-            "bhqk,bhkd->bhqd", probs.astype(v.dtype), split(v),
-            preferred_element_type=jnp.float32,
-        ).astype(x.dtype)
-        ctx = ctx.transpose(0, 2, 1, 3).reshape(b, l, h)
+        rng = (
+            self.make_rng("dropout")
+            if (self.dropout > 0 and not deterministic)
+            else None
+        )
+        ctx = fused_attention(
+            q, k, v, nh, mask=mask, dropout_rate=self.dropout,
+            dropout_rng=rng, deterministic=deterministic,
+        )
         out = dense(h, "out_dense")(ctx)
         out = nn.Dropout(self.dropout)(out, deterministic=deterministic)
         return LayerNorm(eps=1e-12, name="out_ln")(out + x)

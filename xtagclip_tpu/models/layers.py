@@ -102,6 +102,36 @@ def dot_product_attention(q, k, v, mask=None, scale=None, dropout_rate=0.0,
     return out.astype(q.dtype), probs
 
 
+def fused_attention(q, k, v, num_heads, mask=None, dropout_rate=0.0,
+                    dropout_rng=None, deterministic=True):
+    """Multi-head attention over [B, L, E] streams.
+
+    Fast path (no dropout): jax.nn.dot_product_attention in BLHD layout —
+    the TPU-optimized fused lowering, no head transposes. Dropout falls back
+    to the explicit einsum path.
+    """
+    b, lq, e = q.shape
+    lk = k.shape[1]
+    dh = e // num_heads
+    if mask is not None:
+        while mask.ndim < 4:
+            mask = mask[None]
+    if dropout_rate > 0.0 and not deterministic:
+        out, _ = dot_product_attention(
+            _split_heads(q, num_heads), _split_heads(k, num_heads),
+            _split_heads(v, num_heads), mask=mask,
+            dropout_rate=dropout_rate, dropout_rng=dropout_rng,
+            deterministic=deterministic,
+        )
+        return _merge_heads(out)
+    return jax.nn.dot_product_attention(
+        q.reshape(b, lq, num_heads, dh),
+        k.reshape(b, lk, num_heads, dh),
+        v.reshape(b, lk, num_heads, dh),
+        bias=mask.astype(jnp.float32) if mask is not None else None,
+    ).reshape(b, lq, e)
+
+
 def _split_heads(x, num_heads):
     b, l, d = x.shape
     return x.reshape(b, l, num_heads, d // num_heads).transpose(0, 2, 1, 3)
@@ -158,10 +188,6 @@ class MultiheadAttention(nn.Module):
             kh = dense(e, "k_proj")(k)
             vh = dense(e, "v_proj")(v)
 
-        qh = _split_heads(qh, self.num_heads)
-        kh = _split_heads(kh, self.num_heads)
-        vh = _split_heads(vh, self.num_heads)
-
         mask = None
         if attn_mask is not None:
             if attn_mask.dtype == jnp.bool_:
@@ -172,11 +198,30 @@ class MultiheadAttention(nn.Module):
                 mask = mask[None]
 
         rng = self.make_rng("dropout") if (self.dropout > 0 and not deterministic) else None
-        out, probs = dot_product_attention(
-            qh, kh, vh, mask=mask, dropout_rate=self.dropout,
-            dropout_rng=rng, deterministic=deterministic,
+        need_slow = (
+            return_weights or rng is not None
         )
-        out = _merge_heads(out)
+        if need_slow:
+            out, probs = dot_product_attention(
+                _split_heads(qh, self.num_heads),
+                _split_heads(kh, self.num_heads),
+                _split_heads(vh, self.num_heads),
+                mask=mask, dropout_rate=self.dropout,
+                dropout_rng=rng, deterministic=deterministic,
+            )
+            out = _merge_heads(out)
+        else:
+            # fast path: BLHD layout (no head transposes) through the
+            # TPU-optimized fused attention lowering
+            b, lq, _ = qh.shape
+            lk = kh.shape[1]
+            nh, dh = self.num_heads, e // self.num_heads
+            out = jax.nn.dot_product_attention(
+                qh.reshape(b, lq, nh, dh),
+                kh.reshape(b, lk, nh, dh),
+                vh.reshape(b, lk, nh, dh),
+                bias=mask.astype(jnp.float32) if mask is not None else None,
+            ).reshape(b, lq, e)
         out = dense(e, "out_proj")(out)
         if return_weights:
             # torch returns head-averaged weights by default

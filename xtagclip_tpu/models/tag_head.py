@@ -16,7 +16,7 @@ from typing import Any, Optional
 import jax.numpy as jnp
 from flax import linen as nn
 
-from xtagclip_tpu.models.layers import LayerNorm, dot_product_attention, gelu_exact
+from xtagclip_tpu.models.layers import LayerNorm, fused_attention, gelu_exact
 
 Dtype = Any
 
@@ -40,23 +40,15 @@ class BertCrossAttention(nn.Module):
         q = dense(h, "query")(hidden)
         k = dense(h, "key")(encoder_hidden)
         v = dense(h, "value")(encoder_hidden)
-
-        def split(x):
-            b, l, _ = x.shape
-            return x.reshape(b, l, self.num_heads, dh).transpose(0, 2, 1, 3)
-
         rng = (
             self.make_rng("dropout")
             if (self.dropout > 0 and not deterministic)
             else None
         )
-        ctx, _ = dot_product_attention(
-            split(q), split(k), split(v), mask=mask,
-            dropout_rate=self.dropout, dropout_rng=rng,
-            deterministic=deterministic,
+        ctx = fused_attention(
+            q, k, v, self.num_heads, mask=mask, dropout_rate=self.dropout,
+            dropout_rng=rng, deterministic=deterministic,
         )
-        b, nh, l, _ = ctx.shape
-        ctx = ctx.transpose(0, 2, 1, 3).reshape(b, l, h)
 
         out = dense(h, "out_dense")(ctx)
         out = nn.Dropout(self.dropout)(out, deterministic=deterministic)

@@ -18,7 +18,7 @@ from typing import Any, Optional, Tuple
 import jax.numpy as jnp
 from flax import linen as nn
 
-from xtagclip_tpu.models.layers import LayerNorm, gelu_exact
+from xtagclip_tpu.models.layers import LayerNorm, fused_attention, gelu_exact
 
 Dtype = Any
 
@@ -37,24 +37,7 @@ class TimmBlock(nn.Module):
         qkv = nn.Dense(3 * d, name="qkv", dtype=self.dtype,
                        param_dtype=self.param_dtype)(h)
         q, k, v = jnp.split(qkv, 3, axis=-1)
-        b, l, _ = q.shape
-        nh, dh = self.num_heads, d // self.num_heads
-
-        def split(t):
-            return t.reshape(b, l, nh, dh).transpose(0, 2, 1, 3)
-
-        import jax
-
-        scores = jnp.einsum(
-            "bhqd,bhkd->bhqk", split(q), split(k),
-            preferred_element_type=jnp.float32,
-        ) * dh**-0.5
-        probs = jax.nn.softmax(scores, axis=-1)
-        ctx = jnp.einsum(
-            "bhqk,bhkd->bhqd", probs.astype(v.dtype), split(v),
-            preferred_element_type=jnp.float32,
-        ).astype(x.dtype)
-        ctx = ctx.transpose(0, 2, 1, 3).reshape(b, l, d)
+        ctx = fused_attention(q, k, v, self.num_heads)
         attn_out = nn.Dense(d, name="proj", dtype=self.dtype,
                             param_dtype=self.param_dtype)(ctx)
         x = x + attn_out
