@@ -1,0 +1,178 @@
+// Native data-plane for xtagclip_tpu: threaded JPEG decode + resize +
+// center-crop producing uint8 RGB HWC crops ready for the device-side
+// normalize/patch-embed fusion.
+//
+// This is the native-runtime counterpart of the reference's torchvision/PIL
+// DataLoader worker chain (transform.py:274-390 + DataLoader workers): decode
+// uses libjpeg's DCT scale-on-decode (decode at 1/2..1/8 resolution when the
+// target is small — most of the IDCT work vanishes), then separable bilinear
+// resize of the shortest side and a center crop.
+//
+// C ABI (ctypes):
+//   xtag_decode_resize(jpeg_bytes, len, target, out[target*target*3]) -> 0 ok
+//   xtag_decode_batch(ptrs, lens, n, target, out, n_threads) -> #ok
+//   xtag_resize_crop_u8(src, h, w, target, out) -> 0 ok   (raw RGB input)
+
+#include <cstddef>
+#include <cstdio>
+
+#include <jpeglib.h>
+
+#include <algorithm>
+#include <atomic>
+#include <cmath>
+#include <csetjmp>
+#include <cstdint>
+#include <cstring>
+#include <thread>
+#include <vector>
+
+namespace {
+
+struct ErrMgr {
+  jpeg_error_mgr pub;
+  jmp_buf setjmp_buffer;
+};
+
+void error_exit(j_common_ptr cinfo) {
+  ErrMgr* err = reinterpret_cast<ErrMgr*>(cinfo->err);
+  longjmp(err->setjmp_buffer, 1);
+}
+
+// separable bilinear resize, RGB u8
+void bilinear_resize(const uint8_t* src, int sh, int sw, uint8_t* dst, int dh,
+                     int dw) {
+  const float ys = static_cast<float>(sh) / dh;
+  const float xs = static_cast<float>(sw) / dw;
+  std::vector<int> x0(dw), x1(dw);
+  std::vector<float> xw(dw);
+  for (int x = 0; x < dw; ++x) {
+    float fx = (x + 0.5f) * xs - 0.5f;
+    fx = std::max(0.0f, std::min(fx, static_cast<float>(sw - 1)));
+    x0[x] = static_cast<int>(fx);
+    x1[x] = std::min(x0[x] + 1, sw - 1);
+    xw[x] = fx - x0[x];
+  }
+  for (int y = 0; y < dh; ++y) {
+    float fy = (y + 0.5f) * ys - 0.5f;
+    fy = std::max(0.0f, std::min(fy, static_cast<float>(sh - 1)));
+    const int y0 = static_cast<int>(fy);
+    const int y1 = std::min(y0 + 1, sh - 1);
+    const float wy = fy - y0;
+    const uint8_t* r0 = src + static_cast<size_t>(y0) * sw * 3;
+    const uint8_t* r1 = src + static_cast<size_t>(y1) * sw * 3;
+    uint8_t* out = dst + static_cast<size_t>(y) * dw * 3;
+    for (int x = 0; x < dw; ++x) {
+      const int a = x0[x] * 3, b = x1[x] * 3;
+      const float wx = xw[x];
+      for (int c = 0; c < 3; ++c) {
+        const float top = r0[a + c] + (r0[b + c] - r0[a + c]) * wx;
+        const float bot = r1[a + c] + (r1[b + c] - r1[a + c]) * wx;
+        out[x * 3 + c] =
+            static_cast<uint8_t>(std::lround(top + (bot - top) * wy));
+      }
+    }
+  }
+}
+
+// resize shortest side to target then center-crop target x target
+int resize_crop(const uint8_t* src, int sh, int sw, int target, uint8_t* out) {
+  const float scale = std::max(static_cast<float>(target) / sh,
+                               static_cast<float>(target) / sw);
+  const int rh = std::max(target, static_cast<int>(std::lround(sh * scale)));
+  const int rw = std::max(target, static_cast<int>(std::lround(sw * scale)));
+  std::vector<uint8_t> resized(static_cast<size_t>(rh) * rw * 3);
+  bilinear_resize(src, sh, sw, resized.data(), rh, rw);
+  const int top = (rh - target) / 2;
+  const int left = (rw - target) / 2;
+  for (int y = 0; y < target; ++y) {
+    std::memcpy(out + static_cast<size_t>(y) * target * 3,
+                resized.data() + (static_cast<size_t>(y + top) * rw + left) * 3,
+                static_cast<size_t>(target) * 3);
+  }
+  return 0;
+}
+
+}  // namespace
+
+extern "C" {
+
+int xtag_resize_crop_u8(const uint8_t* src, int h, int w, int target,
+                        uint8_t* out) {
+  return resize_crop(src, h, w, target, out);
+}
+
+// decode one JPEG to a target x target RGB center crop; returns 0 on success
+int xtag_decode_resize(const uint8_t* data, size_t len, int target,
+                       uint8_t* out) {
+  jpeg_decompress_struct cinfo;
+  ErrMgr jerr;
+  cinfo.err = jpeg_std_error(&jerr.pub);
+  jerr.pub.error_exit = error_exit;
+  if (setjmp(jerr.setjmp_buffer)) {
+    jpeg_destroy_decompress(&cinfo);
+    return 1;
+  }
+  jpeg_create_decompress(&cinfo);
+  jpeg_mem_src(&cinfo, data, len);
+  if (jpeg_read_header(&cinfo, TRUE) != JPEG_HEADER_OK) {
+    jpeg_destroy_decompress(&cinfo);
+    return 2;
+  }
+  cinfo.out_color_space = JCS_RGB;
+  // DCT scale-on-decode: largest 1/N (N=1,2,4,8) where the shortest side
+  // still covers the target
+  const int shortest = std::min(cinfo.image_width, cinfo.image_height);
+  int denom = 1;
+  while (denom < 8 && shortest / (denom * 2) >= static_cast<int>(1.15 * target))
+    denom *= 2;
+  cinfo.scale_num = 1;
+  cinfo.scale_denom = denom;
+  cinfo.dct_method = JDCT_IFAST;
+  jpeg_start_decompress(&cinfo);
+  const int w = cinfo.output_width, h = cinfo.output_height;
+  const int comps = cinfo.output_components;
+  std::vector<uint8_t> buf(static_cast<size_t>(h) * w * 3);
+  std::vector<uint8_t> row(static_cast<size_t>(w) * comps);
+  JSAMPROW rowp = row.data();
+  for (int y = 0; y < h; ++y) {
+    jpeg_read_scanlines(&cinfo, &rowp, 1);
+    uint8_t* dst = buf.data() + static_cast<size_t>(y) * w * 3;
+    if (comps == 3) {
+      std::memcpy(dst, row.data(), static_cast<size_t>(w) * 3);
+    } else {  // grayscale -> RGB
+      for (int x = 0; x < w; ++x)
+        dst[x * 3] = dst[x * 3 + 1] = dst[x * 3 + 2] = row[x * comps];
+    }
+  }
+  jpeg_finish_decompress(&cinfo);
+  jpeg_destroy_decompress(&cinfo);
+  return resize_crop(buf.data(), h, w, target, out);
+}
+
+// threaded batch decode; returns the number of successful decodes.
+// failures leave zeros in the corresponding output slot.
+int xtag_decode_batch(const uint8_t** datas, const size_t* lens, int n,
+                      int target, uint8_t* out, int n_threads) {
+  if (n_threads < 1) n_threads = 1;
+  std::atomic<int> next(0), ok(0);
+  const size_t stride = static_cast<size_t>(target) * target * 3;
+  auto worker = [&]() {
+    for (;;) {
+      const int i = next.fetch_add(1);
+      if (i >= n) return;
+      if (xtag_decode_resize(datas[i], lens[i], target, out + i * stride) == 0)
+        ok.fetch_add(1);
+      else
+        std::memset(out + i * stride, 0, stride);
+    }
+  };
+  std::vector<std::thread> threads;
+  const int nt = std::min(n_threads, n);
+  threads.reserve(nt);
+  for (int t = 0; t < nt; ++t) threads.emplace_back(worker);
+  for (auto& t : threads) t.join();
+  return ok.load();
+}
+
+}  // extern "C"

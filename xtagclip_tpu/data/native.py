@@ -1,0 +1,115 @@
+"""ctypes bindings for the native data-plane (native/xtag_data.cpp):
+threaded JPEG decode + resize + center-crop to uint8 RGB crops.
+
+Falls back to the PIL pipeline when the shared library isn't built.
+Build: `make -C native` (libjpeg required).
+"""
+
+from __future__ import annotations
+
+import ctypes
+import logging
+import os
+import subprocess
+from functools import lru_cache
+from typing import List, Optional
+
+import numpy as np
+
+_NATIVE_DIR = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+    "native",
+)
+_LIB_PATH = os.path.join(_NATIVE_DIR, "libxtagdata.so")
+
+
+@lru_cache()
+def _load(build_if_missing: bool = True) -> Optional[ctypes.CDLL]:
+    if not os.path.exists(_LIB_PATH) and build_if_missing:
+        try:
+            subprocess.run(["make", "-C", _NATIVE_DIR], check=True,
+                           capture_output=True)
+        except (OSError, subprocess.CalledProcessError) as e:
+            logging.info("native build failed (%s); using PIL fallback", e)
+            return None
+    if not os.path.exists(_LIB_PATH):
+        return None
+    lib = ctypes.CDLL(_LIB_PATH)
+    lib.xtag_decode_resize.restype = ctypes.c_int
+    lib.xtag_decode_resize.argtypes = [
+        ctypes.c_char_p, ctypes.c_size_t, ctypes.c_int, ctypes.c_void_p,
+    ]
+    lib.xtag_decode_batch.restype = ctypes.c_int
+    lib.xtag_decode_batch.argtypes = [
+        ctypes.POINTER(ctypes.c_char_p), ctypes.POINTER(ctypes.c_size_t),
+        ctypes.c_int, ctypes.c_int, ctypes.c_void_p, ctypes.c_int,
+    ]
+    lib.xtag_resize_crop_u8.restype = ctypes.c_int
+    lib.xtag_resize_crop_u8.argtypes = [
+        ctypes.c_void_p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ctypes.c_void_p,
+    ]
+    return lib
+
+
+def native_available() -> bool:
+    return _load() is not None
+
+
+def decode_resize(jpeg_bytes: bytes, target: int) -> Optional[np.ndarray]:
+    """One JPEG -> [target, target, 3] uint8 center crop (None on failure)."""
+    lib = _load()
+    if lib is None:
+        return _pil_decode_resize(jpeg_bytes, target)
+    out = np.empty((target, target, 3), np.uint8)
+    rc = lib.xtag_decode_resize(
+        jpeg_bytes, len(jpeg_bytes), target,
+        out.ctypes.data_as(ctypes.c_void_p),
+    )
+    return out if rc == 0 else None
+
+
+def decode_batch(jpegs: List[bytes], target: int,
+                 n_threads: Optional[int] = None) -> np.ndarray:
+    """JPEG list -> [N, target, target, 3] uint8; corrupt entries are zeros."""
+    lib = _load()
+    n = len(jpegs)
+    out = np.zeros((n, target, target, 3), np.uint8)
+    if lib is None:
+        for i, j in enumerate(jpegs):
+            d = _pil_decode_resize(j, target)
+            if d is not None:
+                out[i] = d
+        return out
+    arr_t = ctypes.c_char_p * n
+    len_t = ctypes.c_size_t * n
+    ptrs = arr_t(*jpegs)
+    lens = len_t(*[len(j) for j in jpegs])
+    if n_threads is None:
+        n_threads = max(1, os.cpu_count() or 1)
+    lib.xtag_decode_batch(
+        ptrs, lens, n, target, out.ctypes.data_as(ctypes.c_void_p), n_threads
+    )
+    return out
+
+
+def _pil_decode_resize(jpeg_bytes: bytes, target: int) -> Optional[np.ndarray]:
+    import io
+
+    from PIL import Image
+
+    try:
+        img = Image.open(io.BytesIO(jpeg_bytes))
+        img.draft("RGB", (target, target))  # PIL's DCT-scale analogue
+        img = img.convert("RGB")
+        w, h = img.size
+        scale = max(target / w, target / h)
+        img = img.resize((max(target, round(w * scale)),
+                          max(target, round(h * scale))), Image.BILINEAR)
+        w, h = img.size
+        left, top = (w - target) // 2, (h - target) // 2
+        return np.asarray(
+            img.crop((left, top, left + target, top + target)), np.uint8
+        )
+    except OSError:
+        return None

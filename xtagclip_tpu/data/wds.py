@@ -170,7 +170,8 @@ class WdsLoader:
 
     def __init__(self, reader: WebDatasetReader, transform, tokenizer,
                  batch_size: int, num_batches: int, shuffle_buffer: int = 1000,
-                 seed: int = 0):
+                 seed: int = 0, native_decode: bool = False,
+                 native_target: int = 224):
         self.reader = reader
         self.transform = transform
         self.tokenizer = tokenizer
@@ -180,6 +181,14 @@ class WdsLoader:
         self.shuffle_buffer = shuffle_buffer
         self.seed = seed
         self._epoch = 0
+        # eval fast path: the native C++ decode/resize/crop pipeline
+        # (native/xtag_data.cpp) replaces PIL when available
+        self.native_decode = native_decode
+        self.native_target = native_target
+        if native_decode:
+            from xtagclip_tpu.data.native import native_available
+
+            self.native_decode = native_available()
 
     def set_epoch(self, epoch: int):
         self._epoch = epoch
@@ -195,8 +204,15 @@ class WdsLoader:
         buf = []
         for _key, img_bytes, txt in self.reader:
             try:
-                img = Image.open(io.BytesIO(img_bytes)).convert("RGB")
-                arr = self.transform(img)
+                if self.native_decode:
+                    from xtagclip_tpu.data.native import decode_resize
+
+                    arr = decode_resize(img_bytes, self.native_target)
+                    if arr is None:
+                        continue
+                else:
+                    img = Image.open(io.BytesIO(img_bytes)).convert("RGB")
+                    arr = self.transform(img)
             except OSError as e:
                 if log_and_continue(e):
                     continue
