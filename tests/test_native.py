@@ -15,7 +15,7 @@ def _jpeg(h=96, w=128, seed=0, quality=95):
     x = rng.standard_normal((h // 8, w // 8, 3))
     img = np.asarray(
         Image.fromarray(
-            ((x - x.min()) / (x.ptp() + 1e-9) * 255).astype("uint8")
+            ((x - x.min()) / (np.ptp(x) + 1e-9) * 255).astype("uint8")
         ).resize((w, h), Image.BILINEAR)
     )
     buf = io.BytesIO()
