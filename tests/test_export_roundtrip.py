@@ -1,0 +1,103 @@
+"""Export round-trip: flax -> open_clip torch layout -> flax must be identity,
+and the exported dict must load into the reference PyTorch model. Also
+checkpoint save/resume round-trip through orbax."""
+
+import json
+import os
+import sys
+import tempfile
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+sys.path.insert(0, os.path.dirname(__file__))
+
+from xtagclip_tpu.convert.export import save_open_clip_checkpoint, to_openclip_state_dict
+from xtagclip_tpu.convert.openclip import convert_openclip_state_dict
+from xtagclip_tpu.factory import add_model_config, create_model
+
+CFG = dict(
+    embed_dim=512,
+    vision_cfg=dict(layers=2, width=64, head_width=32, patch_size=8,
+                    image_size=32),
+    text_cfg=dict(context_length=16, vocab_size=300, width=512, heads=4,
+                  layers=2),
+)
+
+
+@pytest.fixture(scope="module")
+def bundle():
+    with tempfile.NamedTemporaryFile("w", suffix=".json", prefix="tinyexp-",
+                                     delete=False) as f:
+        json.dump(CFG, f)
+        p = f.name
+    add_model_config(p)
+    return create_model(os.path.basename(p)[:-5], use_fusion=True)
+
+
+def test_export_import_roundtrip(bundle):
+    sd = to_openclip_state_dict(bundle.params)
+    back = convert_openclip_state_dict(sd)
+    flat_a = jax.tree_util.tree_leaves_with_path(bundle.params)
+    flat_b = {jax.tree_util.keystr(p): v
+              for p, v in jax.tree_util.tree_leaves_with_path(back)}
+    assert len(flat_a) == len(flat_b)
+    for p, a in flat_a:
+        k = jax.tree_util.keystr(p)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(flat_b[k]),
+                                   err_msg=k, rtol=1e-6)
+
+
+def test_exported_checkpoint_loads_in_reference(bundle, tmp_path):
+    from ref_compat import import_ref_open_clip
+
+    oc = import_ref_open_clip()
+    import torch
+
+    path = str(tmp_path / "export.pt")
+    save_open_clip_checkpoint(bundle, path, epoch=3)
+    ckpt = torch.load(path, map_location="cpu", weights_only=False)
+    assert ckpt["epoch"] == 3
+    cwd = os.getcwd()
+    os.chdir("/root/reference/src/open_clip")
+    try:
+        ref = oc.CustomTextCLIP(
+            embed_dim=512, vision_cfg=CFG["vision_cfg"],
+            text_cfg=CFG["text_cfg"], use_fusion=True,
+        )
+    finally:
+        os.chdir(cwd)
+    missing, unexpected = ref.load_state_dict(ckpt["state_dict"], strict=False)
+    # everything we export must land; reference-only buffers may be missing
+    assert not unexpected, unexpected[:5]
+
+
+def test_orbax_resume_roundtrip(bundle, tmp_path):
+    from xtagclip_tpu.train.checkpoint import (
+        CheckpointManager,
+        find_latest_checkpoint,
+        restore_train_state,
+    )
+    from xtagclip_tpu.train.scheduler import cosine_lr
+    from xtagclip_tpu.train.train_state import create_train_state, make_optimizer
+
+    tx = make_optimizer(cosine_lr(1e-4, 1, 10), params=bundle.params)
+    state = create_train_state(bundle.params, tx)
+    state = state.replace(step=jnp.int32(7))
+    mgr = CheckpointManager(str(tmp_path / "ck"), save_frequency=1)
+    mgr.save_epoch(2, {"state": jax.device_get(state), "epoch": 2})
+    tag = find_latest_checkpoint(str(tmp_path / "ck"))
+    assert tag == "epoch_latest"
+    restored = restore_train_state(
+        str(tmp_path / "ck"), tag,
+        {"state": create_train_state(bundle.params, tx), "epoch": 0},
+    )
+    assert int(restored["epoch"]) == 2
+    assert int(restored["state"].step) == 7
+    a = jax.tree_util.tree_leaves(restored["state"].params)
+    b = jax.tree_util.tree_leaves(state.params)
+    for x, y in zip(a, b):
+        np.testing.assert_allclose(np.asarray(x), np.asarray(y))
