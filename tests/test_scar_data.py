@@ -111,3 +111,47 @@ def test_main_other_scar_end_to_end(scar_root, tmp_path):
     with open(os.path.join(ckpt_dir, "val_data_tagging_output.txt")) as f:
         content = f.read()
     assert " - " in content  # gt - pred lines for the viz tools
+
+
+def test_main_other_eval_only_save_embed(scar_root, tmp_path):
+    """Eval-only path (no train data): zero-shot eval + --save-embed artifact
+    (BASELINE config #2 / pathmnist_test.sh contract)."""
+    root, csv = scar_root
+    import json as _json
+
+    from xtagclip_tpu.cli import main_other
+    from xtagclip_tpu.factory import add_model_config
+
+    cfg = dict(
+        embed_dim=512,
+        vision_cfg=dict(layers=2, width=64, head_width=32, patch_size=16,
+                        image_size=32),
+        text_cfg=dict(context_length=77, vocab_size=49408, width=512, heads=4,
+                      layers=2),
+    )
+    cfg_path = tmp_path / "tiny-evalonly.json"
+    cfg_path.write_text(_json.dumps(cfg))
+    add_model_config(cfg_path)
+
+    cwd = os.getcwd()
+    os.chdir(tmp_path)  # save-embed writes into CWD like the reference
+    try:
+        metrics = main_other.main([
+            "--model", "tiny-evalonly",
+            "--val-data", root, "--scar-val-csv", csv,
+            "--batch-size", "4", "--precision", "fp32",
+            "--logs", str(tmp_path / "logs"), "--name", "evalonly",
+            "--save-embed", "--workers", "2",
+        ])
+    finally:
+        os.chdir(cwd)
+    assert "scar_val-top1" in metrics
+    emb = tmp_path / "dataset_embeddings_all_no_templete_evalonly.npz"
+    assert emb.is_file()
+    import numpy as _np
+
+    data = _np.load(emb)
+    assert data["img_embeddings"].shape[1] == 512
+    assert data["txt_embeddings"].shape == (3, 512)
+    # the reference-layout .pt twin for the viz tools
+    assert (tmp_path / "dataset_embeddings_all_no_templete_evalonly.pt").is_file()

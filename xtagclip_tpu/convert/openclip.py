@@ -18,16 +18,6 @@ from typing import Any, Dict
 
 import numpy as np
 
-_TEXT_TOP_LEVEL = (
-    "positional_embedding",
-    "text_projection",
-    "logit_bias",  # not text, handled separately below
-    "token_embedding",
-    "ln_final",
-    "transformer",
-)
-
-
 def load_torch_state_dict(path: str) -> Dict[str, np.ndarray]:
     """Read a torch checkpoint into numpy without keeping torch tensors alive."""
     import torch

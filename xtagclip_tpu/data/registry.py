@@ -9,7 +9,6 @@ from __future__ import annotations
 
 import logging
 import os
-import sys
 from typing import Optional
 
 from xtagclip_tpu.data.datasets import (

@@ -18,8 +18,7 @@ memory. Both passes are lax.scan's inside the same jit.
 
 from __future__ import annotations
 
-import functools
-from typing import Any, Callable, Dict, Optional
+from typing import Any, Dict
 
 import jax
 import jax.numpy as jnp

@@ -103,8 +103,8 @@ def train_one_epoch(
         end = time.time()
 
     epoch_metrics = {k: m.avg for k, m in meters.items()}
-    epoch_metrics["samples_per_second"] = (
-        np.shape(batch_dict["images"])[0] / max(batch_time.avg, 1e-9)
-        if num_batches else 0.0
-    )
+    if last_metrics and num_batches:
+        epoch_metrics["samples_per_second"] = (
+            np.shape(batch_dict["images"])[0] / max(batch_time.avg, 1e-9)
+        )
     return state, epoch_metrics
