@@ -125,7 +125,8 @@ class ModelBundle:
 
 
 def _build_vision_tower(embed_dim: int, vision_cfg: dict, quick: bool,
-                        dtype, param_dtype, remat: bool = False):
+                        dtype, param_dtype, remat: bool = False,
+                        scan_layers: bool = False):
     v = dict(vision_cfg)
     act = quick_gelu if quick else gelu_exact
     if v.get("timm_model_name"):
@@ -169,6 +170,7 @@ def _build_vision_tower(embed_dim: int, vision_cfg: dict, quick: bool,
         act=act,
         norm_eps=norm_eps,
         remat=remat,
+        scan_layers=scan_layers,
         dtype=dtype,
         param_dtype=param_dtype,
         name="visual",
@@ -176,7 +178,8 @@ def _build_vision_tower(embed_dim: int, vision_cfg: dict, quick: bool,
 
 
 def _build_text_tower(embed_dim: int, text_cfg: dict, quick: bool,
-                      dtype, param_dtype, remat: bool = False):
+                      dtype, param_dtype, remat: bool = False,
+                      scan_layers: bool = False):
     t = dict(text_cfg)
     if t.get("hf_model_name"):
         from xtagclip_tpu.models.hf_text import HFTextEncoder
@@ -208,6 +211,7 @@ def _build_text_tower(embed_dim: int, text_cfg: dict, quick: bool,
         act=act,
         norm_eps=norm_eps,
         remat=remat,
+        scan_layers=scan_layers,
         dtype=dtype,
         param_dtype=param_dtype,
         name="text",
@@ -225,6 +229,7 @@ def create_model(
     use_fusion: bool = False,
     prompt_template_setting: Optional[str] = None,
     grad_checkpointing: bool = False,
+    scan_layers: bool = False,
     init_seed: int = 0,
     skip_init: bool = False,
     **model_kwargs,
@@ -259,11 +264,11 @@ def create_model(
 
     visual = _build_vision_tower(
         cfg["embed_dim"], cfg["vision_cfg"], quick, cast_dtype, param_dtype,
-        remat=grad_checkpointing,
+        remat=grad_checkpointing, scan_layers=scan_layers,
     )
     text = _build_text_tower(
         cfg["embed_dim"], cfg["text_cfg"], quick, cast_dtype, param_dtype,
-        remat=grad_checkpointing,
+        remat=grad_checkpointing, scan_layers=scan_layers,
     )
     if "multimodal_cfg" in cfg:  # CoCa family (factory.py:347-348 dispatch)
         from xtagclip_tpu.models.coca import CoCa, MultimodalTransformer

@@ -290,11 +290,38 @@ class ResidualAttentionBlock(nn.Module):
         return x + mlp_out
 
 
+class _ScanBlock(nn.Module):
+    """One block inside nn.scan: (carry=x, broadcast mask) -> (x, None)."""
+
+    num_heads: int
+    mlp_ratio: float
+    ls_init_value: Optional[float]
+    act: Callable
+    norm_eps: float
+    deterministic: bool
+    dtype: Dtype
+    param_dtype: Dtype
+
+    @nn.compact
+    def __call__(self, x, attn_mask):
+        x = ResidualAttentionBlock(
+            num_heads=self.num_heads, mlp_ratio=self.mlp_ratio,
+            ls_init_value=self.ls_init_value, act=self.act,
+            norm_eps=self.norm_eps, dtype=self.dtype,
+            param_dtype=self.param_dtype, name="block",
+        )(x, attn_mask=attn_mask, deterministic=self.deterministic)
+        return x, None
+
+
 class Transformer(nn.Module):
     """Stack of residual attention blocks.
 
     remat=True wraps each block in jax.checkpoint (the reference's per-block
-    torch.utils.checkpoint, transformer.py:409-412).
+    torch.utils.checkpoint, transformer.py:409-412). scan_layers=True runs the
+    stack as one lax.scan over stacked per-layer params — compile time becomes
+    O(1) in depth (the ViT-H / slow-remote-compile lever); params live under
+    'resblocks_scan/block' with a leading layer axis (see
+    parallel/scan_params.py for stacking converters).
     """
 
     width: int
@@ -305,15 +332,38 @@ class Transformer(nn.Module):
     act: Callable = gelu_exact
     norm_eps: float = 1e-5
     remat: bool = False
+    scan_layers: bool = False
     dtype: Dtype = jnp.float32
     param_dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x, attn_mask=None, deterministic=True,
                  return_intermediates=False):
+        if self.scan_layers and not return_intermediates:
+            body = _ScanBlock
+            if self.remat:
+                body = nn.remat(body, prevent_cse=False)
+            scanned = nn.scan(
+                body,
+                variable_axes={"params": 0},
+                split_rngs={"params": True, "dropout": True},
+                in_axes=(nn.broadcast,),
+                length=self.layers,
+            )(
+                num_heads=self.heads, mlp_ratio=self.mlp_ratio,
+                ls_init_value=self.ls_init_value, act=self.act,
+                norm_eps=self.norm_eps, deterministic=deterministic,
+                dtype=self.dtype, param_dtype=self.param_dtype,
+                name="resblocks_scan",
+            )
+            x, _ = scanned(x, attn_mask)
+            return x
+
         block_cls = ResidualAttentionBlock
         if self.remat:
-            block_cls = nn.remat(ResidualAttentionBlock, static_argnums=(3,))
+            # argnums count from the bound module: x=1, k_x=2, v_x=3,
+            # attn_mask=4, deterministic=5
+            block_cls = nn.remat(ResidualAttentionBlock, static_argnums=(5,))
         intermediates = []
         for i in range(self.layers):
             blk = block_cls(
@@ -323,7 +373,7 @@ class Transformer(nn.Module):
                 param_dtype=self.param_dtype, name=f"resblocks_{i}",
             )
             if self.remat:
-                x = blk(x, attn_mask, deterministic)
+                x = blk(x, None, None, attn_mask, deterministic)
             else:
                 x = blk(x, attn_mask=attn_mask, deterministic=deterministic)
             if return_intermediates:

@@ -56,6 +56,7 @@ class TextTransformer(nn.Module):
     act: Callable = gelu_exact
     norm_eps: float = 1e-5
     remat: bool = False
+    scan_layers: bool = False
     dtype: Dtype = jnp.float32
     param_dtype: Dtype = jnp.float32
 
@@ -102,6 +103,7 @@ class TextTransformer(nn.Module):
             width=self.width, layers=self.layers, heads=self.heads,
             mlp_ratio=self.mlp_ratio, ls_init_value=self.ls_init_value,
             act=self.act, norm_eps=self.norm_eps, remat=self.remat,
+            scan_layers=self.scan_layers,
             dtype=self.dtype, param_dtype=self.param_dtype, name="transformer",
         )(x, attn_mask=attn_mask, deterministic=deterministic)
 

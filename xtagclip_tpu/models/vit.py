@@ -57,6 +57,7 @@ class VisionTransformer(nn.Module):
     norm_eps: float = 1e-5
     output_tokens: bool = True
     remat: bool = False
+    scan_layers: bool = False
     # learnable prompt-token injection (legacy others/transformer.py:549-558,
     # :642-644 — the --add-learnable-tokens capability): n extra learned
     # tokens spliced into the sequence at insert_position.
@@ -141,6 +142,7 @@ class VisionTransformer(nn.Module):
             width=self.width, layers=self.layers, heads=self.heads,
             mlp_ratio=self.mlp_ratio, ls_init_value=self.ls_init_value,
             act=self.act, norm_eps=self.norm_eps, remat=self.remat,
+            scan_layers=self.scan_layers,
             dtype=self.dtype, param_dtype=self.param_dtype, name="transformer",
         )(x, deterministic=deterministic)
 
