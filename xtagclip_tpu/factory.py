@@ -299,11 +299,12 @@ def create_model(
             image_size = cfg["vision_cfg"].get("image_size", 224)
             ih = iw = image_size if isinstance(image_size, int) else image_size[0]
             ctx = cfg["text_cfg"].get("context_length", 76)
-            variables = module.init(
-                jax.random.PRNGKey(init_seed),
-                jnp.zeros((1, ih, iw, 3), cast_dtype),
-                jnp.zeros((1, ctx), jnp.int32),
-            )
+            with jax.default_device(jax.local_devices(backend="cpu")[0]):
+                variables = jax.jit(module.init)(
+                    jax.random.PRNGKey(init_seed),
+                    jnp.zeros((1, ih, iw, 3), cast_dtype),
+                    jnp.zeros((1, ctx), jnp.int32),
+                )
             params = variables["params"]
             extra = {k: v for k, v in variables.items() if k != "params"}
         bundle = ModelBundle(
@@ -342,10 +343,14 @@ def create_model(
         ctx = cfg["text_cfg"].get("context_length", 77)
         dummy_img = jnp.zeros((1, ih, iw, 3), cast_dtype)
         dummy_txt = jnp.zeros((1, ctx), jnp.int32)
-        variables = module.init(
-            jax.random.PRNGKey(init_seed), dummy_img, dummy_txt,
-            deterministic=True,
-        )
+        # init on CPU: initialization is trace-once bookkeeping, not worth a
+        # (potentially slow, remote) accelerator compile; params transfer to
+        # the mesh at training/eval setup.
+        with jax.default_device(jax.local_devices(backend="cpu")[0]):
+            variables = jax.jit(module.init, static_argnames=("deterministic",))(
+                jax.random.PRNGKey(init_seed), dummy_img, dummy_txt,
+                deterministic=True,
+            )
         params = variables["params"]
         extra = {k: v for k, v in variables.items() if k != "params"}
 
