@@ -109,6 +109,42 @@ def make_train_step(
     return jax.jit(step, donate_argnums=(0,) if donate else ())
 
 
+def make_multi_step(
+    module,
+    tx,
+    args_cfg: Dict[str, Any],
+    num_steps: int,
+    prompt_table=None,
+):
+    """K optimizer steps inside ONE jit via lax.scan over stacked batches
+    [K, B, ...]. Amortizes per-dispatch overhead (critical on remote/tunneled
+    runtimes where each dispatch costs a round trip) and lets XLA pipeline
+    across step boundaries. Returns (state, stacked_metrics)."""
+
+    def one(state: TrainState, batch_rng):
+        batch, rng = batch_rng
+
+        def loss_fn(params):
+            return _model_losses(
+                module, params, batch, {"dropout": rng}, args_cfg,
+                prompt_table, extra_vars=state.extra_vars,
+            )
+
+        (_, (metrics, new_vars)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(state.params)
+        new_state = apply_gradients(state, grads, tx)
+        if new_vars:
+            new_state = new_state.replace(extra_vars=new_vars)
+        return new_state, metrics
+
+    def multi(state: TrainState, batches, rng):
+        rngs = jax.random.split(rng, num_steps)
+        return jax.lax.scan(one, state, (batches, rngs))
+
+    return jax.jit(multi, donate_argnums=(0,))
+
+
 def optax_global_norm(tree):
     leaves = jax.tree_util.tree_leaves(tree)
     return jnp.sqrt(sum(jnp.sum(jnp.square(x.astype(jnp.float32)))
