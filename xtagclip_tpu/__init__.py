@@ -5,9 +5,11 @@ data paths. Public surface mirrors the reference open_clip __init__."""
 from xtagclip_tpu.factory import (
     ModelBundle,
     add_model_config,
+    create_loss,
     create_model,
     create_model_and_transforms,
     create_model_from_pretrained,
+    list_openai_models,
     get_cast_dtype,
     get_input_dtype,
     get_model_config,
@@ -47,6 +49,8 @@ __all__ = [
     "create_model",
     "create_model_and_transforms",
     "create_model_from_pretrained",
+    "create_loss",
+    "list_openai_models",
     "get_cast_dtype",
     "get_input_dtype",
     "get_model_config",

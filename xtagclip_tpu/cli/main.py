@@ -95,6 +95,8 @@ def main(argv=None):
             len(args.force_image_size) == 1 else args.force_image_size
         ),
         grad_checkpointing=args.grad_checkpointing,
+        **({"vision_cfg": {"patch_dropout": args.force_patch_dropout}}
+           if args.force_patch_dropout is not None else {}),
         image_mean=args.image_mean, image_std=args.image_std,
         image_interpolation=args.image_interpolation,
         image_resize_mode=args.image_resize_mode, aug_cfg=args.aug_cfg,

@@ -122,9 +122,13 @@ def main(argv=None):
         image_resize_mode=args.image_resize_mode,
         aug_cfg=args.aug_cfg,
         **({"vision_cfg": {
-            "n_learnable_tokens": args.n_learnable_tokens,
-            "insert_position": args.insert_position,
-        }} if args.add_learnable_tokens else {}),
+            **({"patch_dropout": args.force_patch_dropout}
+               if args.force_patch_dropout is not None else {}),
+            **({"n_learnable_tokens": args.n_learnable_tokens,
+                "insert_position": args.insert_position}
+               if args.add_learnable_tokens else {}),
+        }} if (args.force_patch_dropout is not None
+               or args.add_learnable_tokens) else {}),
     )
     tokenizer = get_tokenizer(args.model)
 
@@ -265,7 +269,8 @@ def main(argv=None):
         completed = epoch + 1
 
         eval_metrics = {}
-        if completed % args.val_frequency == 0 or completed == args.epochs:
+        zs_every = args.zeroshot_frequency or args.val_frequency
+        if (completed % max(zs_every, 1) == 0) or completed == args.epochs:
             eval_metrics = zero_shot_eval(
                 bundle.module,
                 {"params": state.params, **(state.extra_vars or {})},

@@ -391,6 +391,42 @@ def create_model(
     return bundle
 
 
+def create_loss(args):
+    """Pick the training loss from args (reference factory.py:433-469)."""
+    from xtagclip_tpu.losses import ClipLoss, DistillClipLoss, SigLipLoss
+    from xtagclip_tpu.losses.coca import CoCaLoss
+
+    world = getattr(args, "world_size", 1)
+    common = dict(
+        local_loss=getattr(args, "local_loss", False),
+        gather_with_grad=getattr(args, "gather_with_grad", False),
+        cache_labels=True,
+        rank=getattr(args, "rank", 0),
+        world_size=world,
+    )
+    if getattr(args, "distill", None) or getattr(args, "distill_model", None):
+        return DistillClipLoss(**common)
+    if "coca" in getattr(args, "model", "").lower():
+        return CoCaLoss(
+            caption_loss_weight=getattr(args, "coca_caption_loss_weight", 2.0),
+            clip_loss_weight=getattr(args, "coca_contrastive_loss_weight", 1.0),
+            **common,
+        )
+    if getattr(args, "siglip", False):
+        return SigLipLoss(
+            rank=common["rank"], world_size=world,
+            dist_impl=getattr(args, "loss_dist_impl", None),
+        )
+    return ClipLoss(**common)
+
+
+def list_openai_models():
+    """Names of models with an 'openai' pretrained tag (reference openai.py)."""
+    from xtagclip_tpu.pretrained import list_pretrained_models_by_tag
+
+    return list_pretrained_models_by_tag("openai")
+
+
 def create_model_from_pretrained(
     model_name: str,
     pretrained: Optional[str] = None,
