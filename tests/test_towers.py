@@ -123,3 +123,66 @@ def test_biomedclip_config_builds():
     )
     assert bundle.module.visual.width == 768
     assert bundle.module.text.pooler_type == "cls_last_hidden_state_pooler"
+
+
+def test_convnext_build_and_converter(rng):
+    import jax
+    import torch
+
+    from xtagclip_tpu.models.convnext import (
+        ConvNeXtModel,
+        convert_timm_convnext_state_dict,
+    )
+
+    model = ConvNeXtModel(embed_dim=32, depths=(1, 1), dims=(16, 32))
+    x = jnp.asarray(rng.standard_normal((1, 32, 32, 3), dtype=np.float32))
+    params = model.init(jax.random.PRNGKey(0), x)["params"]
+    pooled, tokens = model.apply({"params": params}, x)
+    assert pooled.shape == (1, 32)
+    assert tokens.shape == (1, 16, 32)  # 32/4=8 -> stage1 /2 -> 4x4
+
+    # synthetic timm-style state dict -> converter covers trunk params
+    sd = {
+        "visual.trunk.stem.0.weight": rng.standard_normal((16, 3, 4, 4)).astype(np.float32),
+        "visual.trunk.stem.0.bias": np.zeros(16, np.float32),
+        "visual.trunk.stem.1.weight": np.ones(16, np.float32),
+        "visual.trunk.stem.1.bias": np.zeros(16, np.float32),
+        "visual.trunk.stages.0.blocks.0.conv_dw.weight":
+            rng.standard_normal((16, 1, 7, 7)).astype(np.float32),
+        "visual.trunk.stages.0.blocks.0.conv_dw.bias": np.zeros(16, np.float32),
+        "visual.trunk.stages.0.blocks.0.norm.weight": np.ones(16, np.float32),
+        "visual.trunk.stages.0.blocks.0.norm.bias": np.zeros(16, np.float32),
+        "visual.trunk.stages.0.blocks.0.mlp.fc1.weight":
+            rng.standard_normal((64, 16)).astype(np.float32),
+        "visual.trunk.stages.0.blocks.0.mlp.fc1.bias": np.zeros(64, np.float32),
+        "visual.trunk.stages.0.blocks.0.mlp.fc2.weight":
+            rng.standard_normal((16, 64)).astype(np.float32),
+        "visual.trunk.stages.0.blocks.0.mlp.fc2.bias": np.zeros(16, np.float32),
+        "visual.trunk.stages.0.blocks.0.gamma": np.full(16, 1e-6, np.float32),
+        "visual.trunk.stages.1.downsample.0.weight": np.ones(16, np.float32),
+        "visual.trunk.stages.1.downsample.0.bias": np.zeros(16, np.float32),
+        "visual.trunk.stages.1.downsample.1.weight":
+            rng.standard_normal((32, 16, 2, 2)).astype(np.float32),
+        "visual.trunk.stages.1.downsample.1.bias": np.zeros(32, np.float32),
+        "visual.trunk.stages.1.blocks.0.conv_dw.weight":
+            rng.standard_normal((32, 1, 7, 7)).astype(np.float32),
+        "visual.trunk.stages.1.blocks.0.conv_dw.bias": np.zeros(32, np.float32),
+        "visual.trunk.stages.1.blocks.0.norm.weight": np.ones(32, np.float32),
+        "visual.trunk.stages.1.blocks.0.norm.bias": np.zeros(32, np.float32),
+        "visual.trunk.stages.1.blocks.0.mlp.fc1.weight":
+            rng.standard_normal((128, 32)).astype(np.float32),
+        "visual.trunk.stages.1.blocks.0.mlp.fc1.bias": np.zeros(128, np.float32),
+        "visual.trunk.stages.1.blocks.0.mlp.fc2.weight":
+            rng.standard_normal((32, 128)).astype(np.float32),
+        "visual.trunk.stages.1.blocks.0.mlp.fc2.bias": np.zeros(32, np.float32),
+        "visual.trunk.stages.1.blocks.0.gamma": np.full(32, 1e-6, np.float32),
+    }
+    tree = convert_timm_convnext_state_dict(sd)
+    flat_conv = {jax.tree_util.keystr(p): np.asarray(v).shape
+                 for p, v in jax.tree_util.tree_leaves_with_path(tree)}
+    flat_init = {jax.tree_util.keystr(p): v.shape
+                 for p, v in jax.tree_util.tree_leaves_with_path(params["trunk"])}
+    assert flat_conv == flat_init, (
+        sorted(set(flat_init) - set(flat_conv))[:4],
+        sorted(set(flat_conv) - set(flat_init))[:4],
+    )

@@ -153,10 +153,15 @@ _VIT_DIMS = {
 def build_timm_vision_tower(embed_dim: int, vision_cfg: dict, dtype,
                             param_dtype, remat: bool = False):
     name = vision_cfg["timm_model_name"]
+    if name.startswith("convnext"):
+        from xtagclip_tpu.models.convnext import build_convnext_tower
+
+        return build_convnext_tower(embed_dim, vision_cfg, dtype, param_dtype)
     m = _TIMM_VIT_RE.match(name)
     if not m:
         raise NotImplementedError(
-            f"timm model {name!r} not supported natively; ViT trunks only"
+            f"timm model {name!r} not supported natively; "
+            f"ViT and ConvNeXt trunks only"
         )
     size, patch, _res = m.group(1), int(m.group(2)), int(m.group(3))
     width, layers, heads = _VIT_DIMS[size]
