@@ -186,3 +186,40 @@ def test_convnext_build_and_converter(rng):
         sorted(set(flat_init) - set(flat_conv))[:4],
         sorted(set(flat_conv) - set(flat_init))[:4],
     )
+
+
+def test_roberta_parity_vs_transformers(rng):
+    import torch
+    from transformers import RobertaConfig, RobertaModel
+
+    cfg = RobertaConfig(
+        vocab_size=200, hidden_size=64, num_hidden_layers=2,
+        num_attention_heads=4, intermediate_size=128,
+        max_position_embeddings=34, pad_token_id=1, hidden_act="gelu",
+    )
+    torch.manual_seed(0)
+    tb = RobertaModel(cfg, add_pooling_layer=False)
+    tb.eval()
+    sd = {k: v.numpy() for k, v in tb.state_dict().items()}
+
+    ours = BertModel(
+        vocab_size=200, hidden_size=64, num_layers=2, num_heads=4,
+        intermediate_size=128, max_position_embeddings=34,
+        pad_token_id=1, roberta_positions=True, type_vocab_size=2,
+    )
+    ids = rng.integers(3, 200, size=(2, 12)).astype(np.int32)
+    ids[0, 9:] = 1  # trailing pads
+    mask = (ids != 1).astype(np.int32)
+    params = convert_hf_bert_state_dict(sd)
+    with torch.no_grad():
+        want = tb(
+            input_ids=torch.from_numpy(ids.astype(np.int64)),
+            attention_mask=torch.from_numpy(mask.astype(np.int64)),
+        ).last_hidden_state.numpy()
+    got, _ = ours.apply(
+        {"params": params}, jnp.asarray(ids),
+        attention_mask=jnp.asarray(mask), deterministic=True,
+    )
+    # compare non-pad positions (pad rows differ only through pos-embed of pads)
+    np.testing.assert_allclose(np.asarray(got)[mask == 1], want[mask == 1],
+                               atol=1e-4)

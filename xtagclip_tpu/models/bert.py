@@ -83,6 +83,9 @@ class BertModel(nn.Module):
     dropout: float = 0.1
     pad_token_id: int = 0
     add_pooling_layer: bool = False
+    # roberta-family positions: ids start at padding_idx+1 and skip pads
+    # (transformers create_position_ids_from_input_ids semantics)
+    roberta_positions: bool = False
     dtype: Dtype = jnp.float32
     param_dtype: Dtype = jnp.float32
 
@@ -98,7 +101,11 @@ class BertModel(nn.Module):
         emb = nn.Embed(self.vocab_size, self.hidden_size,
                        name="word_embeddings", dtype=self.dtype,
                        param_dtype=self.param_dtype)(input_ids)
-        pos_ids = jnp.arange(l)[None]
+        if self.roberta_positions:
+            not_pad = (input_ids != self.pad_token_id).astype(jnp.int32)
+            pos_ids = jnp.cumsum(not_pad, axis=1) * not_pad + self.pad_token_id
+        else:
+            pos_ids = jnp.arange(l)[None]
         emb = emb + nn.Embed(self.max_position_embeddings, self.hidden_size,
                              name="position_embeddings", dtype=self.dtype,
                              param_dtype=self.param_dtype)(pos_ids)

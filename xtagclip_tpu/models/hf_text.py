@@ -28,10 +28,29 @@ DEFAULT_BERT_CFG = dict(
 )
 
 
+# name-keyed shape presets for known hub models (no-egress environment:
+# config.json may not be cached locally; reference hf_configs.py analogue)
+_KNOWN_HF_SHAPES = {
+    "roberta-base": dict(vocab_size=50265, max_position_embeddings=514),
+    "roberta-large": dict(vocab_size=50265, hidden_size=1024, num_layers=24,
+                          num_heads=16, intermediate_size=4096,
+                          max_position_embeddings=514),
+    "xlm-roberta-base": dict(vocab_size=250002, max_position_embeddings=514),
+    "xlm-roberta-large": dict(vocab_size=250002, hidden_size=1024,
+                              num_layers=24, num_heads=16,
+                              intermediate_size=4096,
+                              max_position_embeddings=514),
+}
+
+
+def _is_roberta(name: str) -> bool:
+    return "roberta" in name.lower()
+
+
 def resolve_hf_config(model_name: str) -> dict:
-    """Read config from a local HF checkout when available, else BERT-base
-    defaults (PubMedBERT == BERT-base shape). Zero-egress environment: no
-    hub downloads."""
+    """Read config from a local HF checkout when available, else name-keyed
+    presets / BERT-base defaults (PubMedBERT == BERT-base shape). Zero-egress
+    environment: no hub downloads."""
     import json
     import os
 
@@ -48,8 +67,21 @@ def resolve_hf_config(model_name: str) -> dict:
                 num_heads=c.get("num_attention_heads", 12),
                 intermediate_size=c.get("intermediate_size", 3072),
                 max_position_embeddings=c.get("max_position_embeddings", 512),
+                pad_token_id=c.get("pad_token_id",
+                                   1 if _is_roberta(c.get("model_type", path))
+                                   else 0),
+                roberta_positions=_is_roberta(c.get("model_type", path)),
             )
-    return dict(DEFAULT_BERT_CFG)
+    cfg = dict(DEFAULT_BERT_CFG)
+    short = path.split("/")[-1].lower()
+    for key, preset in _KNOWN_HF_SHAPES.items():
+        if short.startswith(key):
+            cfg.update(preset)
+            break
+    if _is_roberta(path):
+        cfg["pad_token_id"] = 1
+        cfg["roberta_positions"] = True
+    return cfg
 
 
 class HFTextEncoder(nn.Module):
@@ -64,10 +96,11 @@ class HFTextEncoder(nn.Module):
     @nn.compact
     def __call__(self, input_ids, deterministic: bool = True):
         cfg = resolve_hf_config(self.model_name)
-        attn_mask = (input_ids != self.pad_token_id).astype(jnp.int32)
+        pad_id = cfg.pop("pad_token_id", self.pad_token_id)
+        attn_mask = (input_ids != pad_id).astype(jnp.int32)
         use_hf_pooler = self.pooler_type == "cls_pooler"
         seq, hf_pooled = BertModel(
-            add_pooling_layer=use_hf_pooler, pad_token_id=self.pad_token_id,
+            add_pooling_layer=use_hf_pooler, pad_token_id=pad_id,
             dtype=self.dtype, param_dtype=self.param_dtype,
             name="transformer", **cfg,
         )(input_ids, attention_mask=attn_mask, deterministic=deterministic)
