@@ -104,3 +104,37 @@ def test_wds_loader_batches(shards):
     imgs, txts = batches[0]
     assert imgs.shape == (4, 16, 16, 3)
     assert txts.shape == (4, 77)
+
+
+def test_main_cli_webdataset_end_to_end(shards, tmp_path):
+    """Vanilla CLI training over tar shards (the CLIPA-recipe data path)."""
+    import json as _json
+
+    from xtagclip_tpu.cli import main as main_cli
+    from xtagclip_tpu.factory import add_model_config
+
+    cfg = dict(
+        embed_dim=64,
+        vision_cfg=dict(layers=1, width=64, head_width=32, patch_size=8,
+                        image_size=16),
+        text_cfg=dict(context_length=16, vocab_size=49408, width=64, heads=2,
+                      layers=1),
+    )
+    cfg_path = tmp_path / "tiny-wds.json"
+    cfg_path.write_text(_json.dumps(cfg))
+    add_model_config(cfg_path)
+
+    main_cli.main([
+        "--model", "tiny-wds",
+        "--train-data", os.path.join(shards, "data-{0000..0002}.tar"),
+        "--dataset-type", "webdataset",
+        "--train-num-samples", "16",
+        "--batch-size", "4", "--epochs", "1", "--warmup", "1",
+        "--precision", "fp32", "--lr", "1e-4",
+        "--force-image-size", "16",
+        "--logs", str(tmp_path / "logs"), "--name", "wds_e2e",
+        "--log-every-n-steps", "1", "--val-frequency", "0",
+        "--workers", "2",
+    ])
+    ckpts = tmp_path / "logs" / "wds_e2e" / "checkpoints"
+    assert (ckpts / "epoch_1").is_dir()
