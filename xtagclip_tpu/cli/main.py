@@ -169,6 +169,7 @@ def main(argv=None):
         state, train_metrics = train_one_epoch(
             bundle.module, state, step_fn, data, epoch, args,
             schedule=schedule, rng_key=rng_key, train_key="train",
+            mesh=mesh,
         )
         completed = epoch + 1
         evaluate(bundle.module, {"params": state.params, **(state.extra_vars or {})},

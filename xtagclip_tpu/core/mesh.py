@@ -44,8 +44,14 @@ def init_distributed(args=None) -> dict:
             "jax.distributed initialized: process %d/%d", jax.process_index(),
             jax.process_count(),
         )
+    # NOTE on units: JAX is single-controller per *process*, with many devices
+    # per process. Dataset splitting (idx[rank::world_size]) must be by
+    # PROCESS — each process then shards its batch over its mesh slice. Using
+    # device_count here would make a single-process multi-device run read only
+    # 1/device_count of the data per epoch.
     info = {
-        "world_size": jax.device_count(),
+        "world_size": jax.process_count(),
+        "device_count": jax.device_count(),
         "local_device_count": jax.local_device_count(),
         "rank": jax.process_index(),
         "distributed": jax.device_count() > 1,
@@ -53,6 +59,7 @@ def init_distributed(args=None) -> dict:
     if args is not None:
         args.distributed = info["distributed"]
         args.world_size = info["world_size"]
+        args.device_count = info["device_count"]
         args.rank = info["rank"]
         args.local_rank = 0
     return info

@@ -135,6 +135,12 @@ class WebDatasetReader:
         cfg = self.cfg
         rng = random.Random(cfg.seed + self._epoch)  # detshuffle2 semantics
         if cfg.resampled:
+            # per-rank/worker seed (reference ResampledShards2 worker_seed):
+            # identical seeds would make every rank/worker draw the SAME shard
+            # sequence and train on duplicated data.
+            rng = random.Random(
+                (cfg.seed, self._epoch, cfg.rank, cfg.worker_id).__hash__()
+            )
             weights = cfg.weights or [1.0] * len(cfg.shards)
             n = max(len(cfg.shards), 1)
             return rng.choices(cfg.shards, weights=weights, k=n)

@@ -48,10 +48,19 @@ def infer_param_shardings(params: Any, mesh: Mesh) -> Any:
     )
 
 
-def batch_shardings(batch: Any, mesh: Mesh) -> Any:
+def batch_shardings(batch: Any, mesh: Mesh, accum: bool = False) -> Any:
+    """'data'-axis sharding specs for a batch pytree.
+
+    accum=True: arrays are [accum_freq, micro_b, ...] — shard the microbatch
+    dim (axis 1), keep the accumulation dim replicated.
+    """
+
     def rule(x):
-        if hasattr(x, "ndim") and x.ndim > 0:
-            return NamedSharding(mesh, P(DATA_AXIS))
+        if hasattr(x, "ndim"):
+            if accum and x.ndim > 1:
+                return NamedSharding(mesh, P(None, DATA_AXIS))
+            if not accum and x.ndim > 0:
+                return NamedSharding(mesh, P(DATA_AXIS))
         return NamedSharding(mesh, P())
 
     return jax.tree_util.tree_map(rule, batch)
@@ -61,5 +70,5 @@ def shard_params(params: Any, mesh: Mesh) -> Any:
     return jax.device_put(params, infer_param_shardings(params, mesh))
 
 
-def shard_batch(batch: Any, mesh: Mesh) -> Any:
-    return jax.device_put(batch, batch_shardings(batch, mesh))
+def shard_batch(batch: Any, mesh: Mesh, accum: bool = False) -> Any:
+    return jax.device_put(batch, batch_shardings(batch, mesh, accum=accum))

@@ -104,12 +104,12 @@ def trainable_mask(
             return g >= total_groups - lock_image_unlocked_groups
         if lock_text and p.startswith("text/"):
             if not lock_text_freeze_layer_norm and (
-                "/ln_" in p or p.endswith("ln_final/scale")
-                or p.endswith("ln_final/bias")
+                "/ln_" in p or "LayerNorm" in p
+                or p.endswith("ln_final/scale") or p.endswith("ln_final/bias")
             ):
-                # HF-style lock keeps LayerNorm trainable unless frozen
-                # (hf_model.py:171-186); native towers freeze everything.
-                pass
+                # lock keeps LayerNorm trainable unless --lock-text-freeze-
+                # layer-norm is passed (reference hf_model.py:171-186)
+                return True
             if lock_text_unlocked_layers == 0:
                 return False
             total_groups = nt + 1

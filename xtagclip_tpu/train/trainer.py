@@ -54,8 +54,16 @@ def train_one_epoch(
     schedule=None,
     rng_key=None,
     train_key: Optional[str] = None,
+    mesh=None,
 ):
-    """Run one epoch of jitted steps. Returns (state, epoch_metrics)."""
+    """Run one epoch of jitted steps. Returns (state, epoch_metrics).
+
+    When a mesh is given, each batch is device_put with a 'data'-axis
+    NamedSharding before the step so GSPMD data parallelism actually
+    activates (XLA all-reduces grads / all-gathers negatives over ICI);
+    without it the batch enters jit replicated and every device redundantly
+    computes the same samples.
+    """
     train_key = train_key or ("scar_train" if "scar_train" in data else "train")
     info = data[train_key]
     info.set_epoch(epoch)
@@ -70,6 +78,41 @@ def train_one_epoch(
     if rng_key is None:
         rng_key = jax.random.PRNGKey(args.seed)
 
+    accum_freq = max(int(getattr(args, "accum_freq", 1) or 1), 1)
+
+    def to_microbatches(bd):
+        # make_accum_train_step consumes [accum_freq, micro_b, ...] arrays
+        def r(x):
+            if hasattr(x, "ndim") and x.ndim > 0:
+                b = x.shape[0]
+                return np.asarray(x).reshape(
+                    (accum_freq, b // accum_freq) + x.shape[1:]
+                )
+            return x
+
+        return {k: r(v) for k, v in bd.items()}
+
+    shard = None
+    if mesh is not None:
+        from xtagclip_tpu.core.mesh import DATA_AXIS
+        from xtagclip_tpu.parallel.sharding import shard_batch
+
+        data_size = mesh.shape.get(DATA_AXIS, 1)
+
+        def shard(bd):
+            b = int(np.shape(bd["images"])[-4])  # microbatch dim under accum
+            if data_size > 1 and b % data_size:
+                if not getattr(args, "_warned_unshardable", False):
+                    logging.warning(
+                        "batch %d not divisible by data-parallel size %d; "
+                        "running replicated (no DP speedup). Use a batch "
+                        "size that is a multiple of the device count.",
+                        b, data_size,
+                    )
+                    args._warned_unshardable = True
+                return bd
+            return shard_batch(bd, mesh, accum=accum_freq > 1)
+
     end = time.time()
     last_metrics = {}
     for i, batch in enumerate(dataloader):
@@ -79,6 +122,10 @@ def train_one_epoch(
             prompt_template_setting=getattr(args, "prompt_template_setting", None),
             rng=host_rng,
         )
+        if accum_freq > 1:
+            batch_dict = to_microbatches(batch_dict)
+        if shard is not None:
+            batch_dict = shard(batch_dict)
         data_time.update(time.time() - end)
         state, metrics = step_fn(state, batch_dict, rng_key)
 
@@ -88,7 +135,8 @@ def train_one_epoch(
             for k, v in metrics.items():
                 meters.setdefault(k, AverageMeter()).update(float(v))
             batch_time.update(time.time() - end)
-            bsz = int(np.shape(batch_dict["images"])[0])
+            ishape = np.shape(batch_dict["images"])
+            bsz = int(ishape[0] * (ishape[1] if accum_freq > 1 else 1))
             samples_per_s = bsz / max(batch_time.val, 1e-9)
             lr = float(schedule(int(state.step))) if schedule else float("nan")
             logging.info(
@@ -104,7 +152,7 @@ def train_one_epoch(
 
     epoch_metrics = {k: m.avg for k, m in meters.items()}
     if last_metrics and num_batches:
-        epoch_metrics["samples_per_second"] = (
-            np.shape(batch_dict["images"])[0] / max(batch_time.avg, 1e-9)
-        )
+        ishape = np.shape(batch_dict["images"])
+        n = int(ishape[0] * (ishape[1] if accum_freq > 1 else 1))
+        epoch_metrics["samples_per_second"] = n / max(batch_time.avg, 1e-9)
     return state, epoch_metrics
