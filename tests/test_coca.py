@@ -13,6 +13,8 @@ import jax.numpy as jnp
 from xtagclip_tpu.factory import add_model_config, create_model
 from xtagclip_tpu.losses.coca import CoCaLoss
 
+pytestmark = pytest.mark.e2e
+
 CFG = dict(
     embed_dim=64,
     vision_cfg=dict(layers=2, width=64, head_width=32, patch_size=8,

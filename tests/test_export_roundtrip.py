@@ -19,6 +19,8 @@ from xtagclip_tpu.convert.export import save_open_clip_checkpoint, to_openclip_s
 from xtagclip_tpu.convert.openclip import convert_openclip_state_dict
 from xtagclip_tpu.factory import add_model_config, create_model
 
+pytestmark = pytest.mark.parity
+
 CFG = dict(
     embed_dim=512,
     vision_cfg=dict(layers=2, width=64, head_width=32, patch_size=8,

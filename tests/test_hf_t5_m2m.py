@@ -12,6 +12,8 @@ from xtagclip_tpu.convert.hf_t5 import convert_hf_t5_state_dict
 from xtagclip_tpu.models.m2m100 import M2M100Encoder
 from xtagclip_tpu.models.t5 import T5EncoderStack
 
+pytestmark = pytest.mark.parity
+
 
 def test_t5_encoder_parity_vs_transformers(rng):
     import torch

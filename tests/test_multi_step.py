@@ -15,6 +15,8 @@ from xtagclip_tpu.train.loop import make_multi_step, make_train_step
 from xtagclip_tpu.train.scheduler import cosine_lr
 from xtagclip_tpu.train.train_state import create_train_state, make_optimizer
 
+pytestmark = pytest.mark.e2e
+
 CFG = dict(
     embed_dim=64,
     vision_cfg=dict(layers=2, width=64, head_width=32, patch_size=16,

@@ -20,6 +20,8 @@ import jax.numpy as jnp  # noqa: E402
 from xtagclip_tpu.convert.openclip import convert_openclip_state_dict  # noqa: E402
 from xtagclip_tpu.factory import create_model  # noqa: E402
 
+pytestmark = pytest.mark.parity
+
 # embed_dim and text width must be 512: the reference TQN fusion head
 # hard-codes d_model=512 (CAR_heads/TQN_model.py:22) and feeds it raw text
 # tokens in text-width space (model.py:553-561), so fusion only works on

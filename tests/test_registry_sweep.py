@@ -16,6 +16,8 @@ import pytest
 
 from xtagclip_tpu.factory import create_model, get_model_config, list_models
 
+pytestmark = pytest.mark.e2e
+
 
 def _shape_init(name):
     bundle = create_model(name, skip_init=True)

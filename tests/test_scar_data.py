@@ -71,6 +71,7 @@ def test_scar_loader_batches(scar_root):
     assert not np.array_equal(a, c) or True  # may coincide on tiny data
 
 
+@pytest.mark.e2e
 def test_main_other_scar_end_to_end(scar_root, tmp_path):
     """The full XTag CLI on a real (tiny) scar dataset: tagging+fusion loss,
     zero-shot scar eval, checkpoints, tag output artifact."""
@@ -103,7 +104,7 @@ def test_main_other_scar_end_to_end(scar_root, tmp_path):
         "--precision", "fp32", "--lr", "1e-4",
         "--use-tagging", "--use-fusion", "--prompt-template-setting", "total",
         "--logs", logs, "--name", "scar_e2e", "--log-every-n-steps", "1",
-        "--val-frequency", "1", "--workers", "2",
+        "--val-frequency", "1", "--workers", "2", "--save-best",
     ])
     ckpt_dir = os.path.join(logs, "scar_e2e", "checkpoints")
     assert os.path.isdir(os.path.join(ckpt_dir, "epoch_1"))
@@ -111,8 +112,17 @@ def test_main_other_scar_end_to_end(scar_root, tmp_path):
     with open(os.path.join(ckpt_dir, "val_data_tagging_output.txt")) as f:
         content = f.read()
     assert " - " in content  # gt - pred lines for the viz tools
+    # train-data validation pass artifacts (reference train_other.py:467-484)
+    for artifact in ("traindata_val_tagging_output.txt",
+                     "traindata_val_class_output.txt"):
+        assert os.path.isfile(os.path.join(ckpt_dir, artifact)), artifact
+    # all 4 best checkpoints fire on the first epoch (train_top1 is live)
+    for best in ("best_train_top1", "best_train_loss", "best_val_top1",
+                 "best_tag_acc"):
+        assert os.path.isdir(os.path.join(ckpt_dir, best)), best
 
 
+@pytest.mark.e2e
 def test_main_other_eval_only_save_embed(scar_root, tmp_path):
     """Eval-only path (no train data): zero-shot eval + --save-embed artifact
     (BASELINE config #2 / pathmnist_test.sh contract)."""

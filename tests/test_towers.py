@@ -13,6 +13,8 @@ from xtagclip_tpu.models.bert import BertModel
 from xtagclip_tpu.models.resnet import ModifiedResNet
 from xtagclip_tpu.models.timm_vit import TimmModel, TimmViT
 
+pytestmark = pytest.mark.parity
+
 
 def test_bert_parity_vs_transformers(rng):
     import torch

@@ -24,6 +24,8 @@ from xtagclip_tpu.train.train_state import (
     trainable_mask,
 )
 
+pytestmark = pytest.mark.e2e
+
 CFG = dict(
     embed_dim=512,
     vision_cfg=dict(layers=2, width=64, head_width=32, patch_size=8,
@@ -54,8 +56,11 @@ def _batch(rng, b=8):
     }, jnp.asarray(table)
 
 
-def test_train_step_runs_and_descends(tiny_bundle, rng):
-    batch, table = _batch(rng)
+def test_train_step_runs_and_descends(tiny_bundle):
+    # fresh local rng: the shared session fixture's state depends on how many
+    # draws earlier tests made, which made this descent assertion
+    # order-dependent in full-suite runs
+    batch, table = _batch(np.random.default_rng(7))
     sched = cosine_lr(1e-3, 2, 50)
     mask = trainable_mask(tiny_bundle.params)
     tx = make_optimizer(sched, params=tiny_bundle.params, train_mask=mask,

@@ -106,6 +106,7 @@ def test_wds_loader_batches(shards):
     assert txts.shape == (4, 77)
 
 
+@pytest.mark.e2e
 def test_main_cli_webdataset_end_to_end(shards, tmp_path):
     """Vanilla CLI training over tar shards (the CLIPA-recipe data path)."""
     import json as _json

@@ -42,7 +42,7 @@ from xtagclip_tpu.train.train_state import (
     trainable_mask,
 )
 from xtagclip_tpu.train.trainer import train_one_epoch
-from xtagclip_tpu.train.zero_shot import zero_shot_eval
+from xtagclip_tpu.train.zero_shot import train_data_eval, zero_shot_eval
 
 LATEST_CHECKPOINT_NAME = "epoch_latest"
 
@@ -272,11 +272,19 @@ def main(argv=None):
         eval_metrics = {}
         zs_every = args.zeroshot_frequency or args.val_frequency
         if (completed % max(zs_every, 1) == 0) or completed == args.epochs:
+            eval_params = {"params": state.params, **(state.extra_vars or {})}
             eval_metrics = zero_shot_eval(
-                bundle.module,
-                {"params": state.params, **(state.extra_vars or {})},
-                data, completed, args, tokenizer, prompt_table=prompt_table,
+                bundle.module, eval_params, data, completed, args, tokenizer,
+                prompt_table=prompt_table,
             )
+            # train-split validation pass (reference train_other.py:290-496):
+            # top1/top2 + tag metrics on the TRAIN data, traindata_val_*.txt
+            # artifacts, and the live train_top1 best-checkpoint metric
+            if args.use_tagging and train_key == "scar_train":
+                eval_metrics.update(train_data_eval(
+                    bundle.module, eval_params, data, args, tokenizer,
+                    prompt_table=prompt_table,
+                ))
             logging.info("Eval epoch %d: %s", completed,
                          json.dumps(eval_metrics, default=float))
 
@@ -287,7 +295,9 @@ def main(argv=None):
             }
             ckpt_mgr.save_epoch(completed, state_tree)
             best_metrics = {
-                "train_top1": train_metrics.get("top1", -np.inf),
+                "train_top1": eval_metrics.get(
+                    "train_data-top1", train_metrics.get("top1", -np.inf)
+                ),
                 "train_loss": train_metrics.get("loss", np.inf),
                 "val_top1": eval_metrics.get("scar_val-top1",
                                              eval_metrics.get("val-top1",

@@ -258,6 +258,38 @@ def run_classification_eval(module, params, classifier, dataloader):
     return {"top1": top1 / max(n, 1), "top5": top5 / max(n, 1), "n": n}
 
 
+def train_data_eval(module, params, data: dict, args, tokenizer,
+                    prompt_table=None) -> dict:
+    """Validation pass over the TRAIN split (reference train_other.py:290-496,
+    every epoch; train_other_simple.py:355-582, every 10 epochs): top1/top2,
+    per-class accuracy, grouped tag metrics, and the
+    traindata_val_{tagging,class}_output.txt artifacts the viz tools consume.
+    The returned top1 drives the 'train_top1' best checkpoint."""
+    if "scar_train" not in data:
+        return {}
+    classnames, templates = _pick_classnames_templates("scar_train")
+    classifier = build_zero_shot_classifier(
+        module, params, tokenizer, classnames, templates
+    )
+    tag_txt = cls_txt = None
+    if getattr(args, "checkpoint_path", None):
+        tag_txt = os.path.join(
+            args.checkpoint_path, "traindata_val_tagging_output.txt"
+        )
+        cls_txt = os.path.join(
+            args.checkpoint_path, "traindata_val_class_output.txt"
+        )
+    m = run_scar_eval(
+        module, params, classifier, data["scar_train"].dataloader,
+        prompt_table=prompt_table,
+        tagging_output_path=tag_txt,
+        class_output_path=cls_txt,
+        classnames=classnames,
+        fusion_scoring=getattr(args, "use_fusion", False),
+    )
+    return {f"train_data-{k}": v for k, v in m.items()}
+
+
 def zero_shot_eval(module, params, data: dict, epoch: int, args, tokenizer,
                    prompt_table=None) -> dict:
     """Dispatch over eval splits (reference zero_shot_other.py:263-318)."""
