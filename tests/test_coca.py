@@ -66,3 +66,35 @@ def test_coca_generation(coca_bundle, rng, gen_type):
     assert out.shape[0] == 2
     assert out.shape[1] <= 8
     assert (out[:, 0] == 198).all()
+
+
+def test_coca_grouped_beam_search(coca_bundle, rng):
+    """Grouped beams (reference coca_model.py:331-478): num_beam_groups
+    sub-searches, optional Hamming diversity penalty."""
+    from xtagclip_tpu.models.coca import generate
+
+    img = jnp.asarray(rng.standard_normal((2, 32, 32, 3), dtype=np.float32))
+    out = generate(
+        coca_bundle.module, coca_bundle.params, img, seq_len=8,
+        max_seq_len=12, generation_type="beam_search", min_seq_len=2,
+        num_beams=6, num_beam_groups=3, diversity_penalty=1.0,
+        sot_token_id=198, eos_token_id=199,
+    )
+    assert out.shape[0] == 2 and out.shape[1] <= 8
+    assert (out[:, 0] == 198).all()
+
+    # fixed_output_length pads to seq_len exactly
+    out = generate(
+        coca_bundle.module, coca_bundle.params, img, seq_len=8,
+        max_seq_len=12, generation_type="beam_search", min_seq_len=2,
+        num_beams=4, num_beam_groups=2, sot_token_id=198, eos_token_id=199,
+        fixed_output_length=True,
+    )
+    assert out.shape == (2, 8)
+
+    with pytest.raises(ValueError):
+        generate(
+            coca_bundle.module, coca_bundle.params, img, seq_len=8,
+            generation_type="beam_search", num_beams=5, num_beam_groups=3,
+            sot_token_id=198, eos_token_id=199,
+        )

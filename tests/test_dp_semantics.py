@@ -177,3 +177,20 @@ def test_lock_text_keeps_layernorm_trainable_unless_frozen():
                         lock_text_freeze_layer_norm=True)
     assert m2["text"]["transformer"]["resblocks_0"]["ln_1"]["scale"] is False
     assert m2["text"]["ln_final"]["bias"] is False
+
+
+def test_profile_flag_writes_trace(tmp_path):
+    """--profile captures a jax.profiler trace of a steady-state step window
+    (SURVEY 5.1 TPU tracing equivalent)."""
+    import jax.numpy as jnp
+
+    def step_fn(state, batch, rng):
+        return state, {"loss": jnp.sum(batch["images"])}
+
+    state = types.SimpleNamespace(step=0, params=jnp.zeros(1))
+    args = _args(profile=True, profile_dir=str(tmp_path / "trace"),
+                 profile_steps=2)
+    train_one_epoch(None, state, step_fn, {"train": _fake_info(32, 4)},
+                    0, args, train_key="train")
+    produced = list((tmp_path / "trace").rglob("*"))
+    assert any(p.is_file() for p in produced), produced

@@ -148,3 +148,39 @@ def test_decay_and_lock_masks(tiny_bundle):
     assert tm3["visual"]["ln_post"]["scale"] is True
     assert tm3["visual"]["transformer"]["resblocks_1"]["ln_1"]["scale"] is True
     assert tm3["visual"]["transformer"]["resblocks_0"]["ln_1"]["scale"] is False
+
+
+def test_distill_step_descends(tiny_bundle):
+    """--distill-model path: student trains against a frozen teacher
+    (reference DistillClipLoss, loss.py:187-223). Fusion-free student so the
+    contrastive+distill trajectory is clean of the sum-reduced ASL/CE terms."""
+    batch, table = _batch(np.random.default_rng(3))
+    batch.pop("additional")
+    student = create_model(tiny_bundle.model_name, use_tagging=True)
+    # teacher = an independently initialized copy of the same architecture
+    teacher_bundle = create_model(tiny_bundle.model_name, use_tagging=True,
+                                  init_seed=42)
+    teacher = (teacher_bundle.module,
+               {"params": teacher_bundle.params,
+                **teacher_bundle.extra_variables})
+    teacher_before = jax.tree_util.tree_map(np.asarray, teacher_bundle.params)
+
+    sched = cosine_lr(1e-3, 2, 50)
+    tx = make_optimizer(sched, params=student.params)
+    state = create_train_state(student.params, tx)
+    step = make_train_step(student.module, tx, {}, prompt_table=table,
+                           donate=False, teacher=teacher)
+    key = jax.random.PRNGKey(0)
+    losses, dists = [], []
+    for _ in range(12):
+        state, m = step(state, batch, key)
+        losses.append(float(m["loss"]))
+        dists.append(float(m["distill_loss"]))
+    assert np.all(np.isfinite(losses))
+    assert losses[-1] < losses[0], losses
+    # the student's logit distribution moves toward the teacher's
+    assert dists[-1] < dists[0], dists
+    # the teacher must stay frozen
+    for a, b in zip(jax.tree_util.tree_leaves(teacher_before),
+                    jax.tree_util.tree_leaves(teacher_bundle.params)):
+        np.testing.assert_array_equal(a, np.asarray(b))

@@ -95,6 +95,7 @@ def main(argv=None):
             len(args.force_image_size) == 1 else args.force_image_size
         ),
         grad_checkpointing=args.grad_checkpointing,
+        use_bn_sync=args.use_bn_sync,
         **({"vision_cfg": {"patch_dropout": args.force_patch_dropout}}
            if args.force_patch_dropout is not None else {}),
         image_mean=args.image_mean, image_std=args.image_std,
@@ -151,12 +152,40 @@ def main(argv=None):
             load_checkpoint_into(bundle, args.resume)
             state = state.replace(params=bundle.params)
 
+    teacher = None
+    if args.distill_model:
+        # frozen teacher (reference main.py --distill-model/--distill-pretrained,
+        # DistillClipLoss loss.py:187-223); forward runs inside the jitted step.
+        from xtagclip_tpu.factory import create_model
+
+        t_bundle = create_model(
+            args.distill_model, args.distill_pretrained or None,
+            precision=precision,
+            # teacher consumes the student's preprocessed batches, so it must
+            # share the student's input geometry
+            force_image_size=(
+                args.force_image_size[0] if args.force_image_size and
+                len(args.force_image_size) == 1 else args.force_image_size
+            ),
+        )
+        teacher = (
+            t_bundle.module,
+            {"params": shard_params(t_bundle.params, mesh),
+             **t_bundle.extra_variables},
+        )
+
     args_cfg = {"siglip": args.siglip, "use_tagging_loss": False}
     if args.accum_freq > 1:
+        if teacher is not None:
+            logging.warning(
+                "--distill-model is not supported with --accum-freq > 1 "
+                "(feature-cache replay path); distillation disabled."
+            )
         step_fn = make_accum_train_step(bundle.module, tx, args_cfg,
                                         args.accum_freq)
     else:
-        step_fn = make_train_step(bundle.module, tx, args_cfg, donate=False)
+        step_fn = make_train_step(bundle.module, tx, args_cfg, donate=False,
+                                  teacher=teacher)
 
     ckpt_mgr = CheckpointManager(
         args.checkpoint_path, save_frequency=args.save_frequency,

@@ -116,6 +116,7 @@ def main(argv=None):
         use_fusion=args.use_fusion,
         prompt_template_setting=args.prompt_template_setting,
         grad_checkpointing=args.grad_checkpointing,
+        use_bn_sync=args.use_bn_sync,
         image_mean=args.image_mean,
         image_std=args.image_std,
         image_interpolation=args.image_interpolation,

@@ -126,7 +126,8 @@ class ModelBundle:
 
 def _build_vision_tower(embed_dim: int, vision_cfg: dict, quick: bool,
                         dtype, param_dtype, remat: bool = False,
-                        scan_layers: bool = False):
+                        scan_layers: bool = False,
+                        bn_axis_name: Optional[str] = None):
     v = dict(vision_cfg)
     act = quick_gelu if quick else gelu_exact
     if v.get("timm_model_name"):
@@ -143,6 +144,7 @@ def _build_vision_tower(embed_dim: int, vision_cfg: dict, quick: bool,
         return ModifiedResNet(
             layers=tuple(v["layers"]), output_dim=embed_dim, heads=heads,
             image_size=v.get("image_size", 224), width=v.get("width", 64),
+            bn_axis_name=bn_axis_name,
             dtype=dtype, param_dtype=param_dtype,
         )
     heads = v.get("width", 768) // v.get("head_width", 64)
@@ -230,6 +232,7 @@ def create_model(
     prompt_template_setting: Optional[str] = None,
     grad_checkpointing: bool = False,
     scan_layers: bool = False,
+    use_bn_sync: bool = False,
     init_seed: int = 0,
     skip_init: bool = False,
     **model_kwargs,
@@ -265,6 +268,7 @@ def create_model(
     visual = _build_vision_tower(
         cfg["embed_dim"], cfg["vision_cfg"], quick, cast_dtype, param_dtype,
         remat=grad_checkpointing, scan_layers=scan_layers,
+        bn_axis_name="data" if use_bn_sync else None,
     )
     text = _build_text_tower(
         cfg["embed_dim"], cfg["text_cfg"], quick, cast_dtype, param_dtype,

@@ -16,6 +16,25 @@ def _dist_loss(teacher_logits, student_logits):
     return -(t * s).sum(axis=1).mean(axis=0)
 
 
+def distill_loss(
+    image_features,
+    text_features,
+    logit_scale,
+    dist_image_features,
+    dist_text_features,
+    dist_logit_scale,
+):
+    """Functional distillation term (reference loss.py:205-223): soft
+    cross-entropy between the teacher's and student's contrastive logit
+    distributions, averaged over both directions. Teacher features should be
+    stop_gradient'ed by the caller."""
+    lpi = logit_scale * image_features @ text_features.T
+    lpt = lpi.T
+    dlpi = dist_logit_scale * dist_image_features @ dist_text_features.T
+    dlpt = dlpi.T
+    return (_dist_loss(dlpi, lpi) + _dist_loss(dlpt, lpt)) / 2
+
+
 class DistillClipLoss(ClipLoss):
     def _logits(self, img, txt, scale):
         if self.axis_name is not None:

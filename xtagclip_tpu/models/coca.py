@@ -164,8 +164,10 @@ def generate(
     eos_token_id: int = EOT_ID,
     sot_token_id: int = SOT_ID,
     num_beams: int = 6,
+    num_beam_groups: int = 3,
     min_seq_len: int = 5,
     repetition_penalty: float = 1.0,
+    diversity_penalty: float = 0.0,
     seed: int = 0,
     fixed_output_length: bool = False,
 ):
@@ -182,7 +184,8 @@ def generate(
 
     if generation_type == "beam_search":
         return _beam_search(
-            step, image_embs, b, ctx, num_beams, sot_token_id, eos_token_id,
+            step, image_embs, b, ctx, num_beams, num_beam_groups,
+            diversity_penalty, sot_token_id, eos_token_id,
             pad_token_id, min_seq_len, fixed_output_length, seq_len,
         )
 
@@ -254,54 +257,121 @@ def _softmax(x):
     return e / e.sum(axis=-1, keepdims=True)
 
 
-def _beam_search(step, image_embs, b, ctx, num_beams, sot, eos, pad,
-                 min_len, fixed_output_length, seq_len):
-    """Standard beam search (reference uses grouped beams; single-group here,
-    same interface)."""
+def _beam_search(step, image_embs, b, ctx, num_beams, num_beam_groups,
+                 diversity_penalty, sot, eos, pad, min_len,
+                 fixed_output_length, seq_len):
+    """Grouped (diverse) beam search, HF BeamSearchScorer semantics
+    (reference coca_model.py:331-478: num_beam_groups sub-searches share one
+    decoder step per position; groups are selected sequentially so later
+    groups can be penalized for reusing earlier groups' tokens).
+
+    length_penalty=1.0, early_stopping=False, one returned hypothesis per
+    sample — the reference's BeamSearchScorer defaults. diversity_penalty>0
+    adds the Hamming diversity term (HF HammingDiversityLogitsProcessor);
+    the reference runs with only MinLength processing, i.e. penalty 0.
+    All beams of all groups run in ONE jitted decoder step per position.
+    """
+    if num_beams % num_beam_groups != 0:
+        raise ValueError(
+            f"num_beams ({num_beams}) must be divisible by num_beam_groups "
+            f"({num_beam_groups})"
+        )
+    gsz = num_beams // num_beam_groups
     eb = jnp.repeat(image_embs, num_beams, axis=0)  # [B*K, ...]
     tokens = np.full((b * num_beams, ctx), pad, np.int32)
     tokens[:, 0] = sot
-    scores = np.full((b, num_beams), -np.inf)
-    scores[:, 0] = 0.0
-    done = np.zeros((b, num_beams), bool)
+    scores = np.full((b, num_beams), -1e9, np.float32)
+    scores[:, ::gsz] = 0.0  # one live beam per group at t=0
+    # finished hypotheses per (sample, group): list of (norm_score, seq[ctx])
+    hyps = [[[] for _ in range(num_beam_groups)] for _ in range(b)]
+    done = np.zeros((b, num_beam_groups), bool)
+
+    def group_done(i, g, best_running, cur_len):
+        # early_stopping=False: done when no running beam can still beat the
+        # worst kept hypothesis (HF BeamHypotheses.is_done)
+        if len(hyps[i][g]) < gsz:
+            return False
+        worst = min(h[0] for h in hyps[i][g])
+        return worst >= best_running / cur_len  # length_penalty = 1.0
+
     for pos in range(1, ctx):
         logits = np.asarray(step(eb, jnp.asarray(tokens), jnp.int32(pos)))
-        logp = logits - _logsumexp(logits)
+        logp = (logits - _logsumexp(logits)).astype(np.float64)
         if pos < min_len:
             logp[:, eos] = -np.inf
         v = logp.shape[1]
         logp = logp.reshape(b, num_beams, v)
-        # finished beams only extend with pad at no cost
-        logp = np.where(done[..., None], -np.inf, logp)
-        pad_col = np.where(done, 0.0, -np.inf)
-        cand = scores[..., None] + logp  # [B, K, V]
-        flat = cand.reshape(b, num_beams * v)
-        flat = np.concatenate([flat, (scores + pad_col)], axis=1)
-        top = np.argsort(-flat, axis=1)[:, :num_beams]
-        new_tokens = np.empty_like(tokens.reshape(b, num_beams, ctx))
-        new_scores = np.empty_like(scores)
-        new_done = np.zeros_like(done)
         tok3 = tokens.reshape(b, num_beams, ctx)
-        for i in range(b):
-            for kk, t in enumerate(top[i]):
-                if t >= num_beams * v:  # carry a finished beam forward
-                    beam = t - num_beams * v
-                    new_tokens[i, kk] = tok3[i, beam]
-                    new_scores[i, kk] = scores[i, beam]
-                    new_done[i, kk] = True
-                else:
+        new_tok3 = tok3.copy()
+        current_tokens = np.full((b, num_beams), pad, np.int32)
+
+        for g in range(num_beam_groups):
+            s, e = g * gsz, (g + 1) * gsz
+            glogp = logp[:, s:e]
+            if diversity_penalty > 0.0 and g > 0:
+                glogp = glogp.copy()
+                for i in range(b):
+                    freq = np.bincount(current_tokens[i, :s], minlength=v)
+                    glogp[i] -= diversity_penalty * freq[None, :]
+            cand = scores[:, s:e, None].astype(np.float64) + glogp  # [B,gsz,V]
+            flat = cand.reshape(b, gsz * v)
+            k2 = min(2 * gsz, flat.shape[1])
+            part = np.argpartition(-flat, k2 - 1, axis=1)[:, :k2]
+
+            for i in range(b):
+                if done[i, g]:
+                    continue
+                order = part[i][np.argsort(-flat[i, part[i]])]
+                new_rows = np.empty((gsz, ctx), np.int32)
+                new_sc = np.full(gsz, -1e9, np.float64)
+                kept = 0
+                for rank, t in enumerate(order):
                     beam, tok_id = divmod(int(t), v)
-                    new_tokens[i, kk] = tok3[i, beam]
-                    new_tokens[i, kk, pos] = tok_id
-                    new_scores[i, kk] = flat[i, t]
-                    new_done[i, kk] = tok_id == eos
-        tokens = new_tokens.reshape(b * num_beams, ctx)
-        scores, done = new_scores, new_done
+                    sc = float(flat[i, t])
+                    if tok_id == eos:
+                        # HF: candidates ranked past the group size never
+                        # become hypotheses
+                        if rank < gsz:
+                            seq = tok3[i, s + beam].copy()
+                            seq[pos] = eos
+                            hyps[i][g].append((sc / pos, seq))
+                            if len(hyps[i][g]) > gsz:  # prune worst
+                                hyps[i][g].remove(min(hyps[i][g],
+                                                      key=lambda h: h[0]))
+                        continue
+                    new_rows[kept] = tok3[i, s + beam]
+                    new_rows[kept, pos] = tok_id
+                    new_sc[kept] = sc
+                    kept += 1
+                    if kept == gsz:
+                        break
+                new_tok3[i, s:e] = new_rows
+                scores[i, s:e] = new_sc
+                current_tokens[i, s:e] = new_rows[:, pos]
+                if group_done(i, g, float(new_sc.max()), pos):
+                    done[i, g] = True
+
+        tokens = new_tok3.reshape(b * num_beams, ctx)
         if done.all():
-            tokens = tokens[:, : pos + 1]
             break
-    best = np.argmax(scores, axis=1)
-    out = tokens.reshape(b, num_beams, -1)[np.arange(b), best]
+
+    # finalize: flush still-running beams of unfinished groups as hypotheses
+    tok3 = tokens.reshape(b, num_beams, ctx)
+    final_len = min(pos + 1, ctx)
+    out = np.full((b, final_len), pad, np.int32)
+    for i in range(b):
+        for g in range(num_beam_groups):
+            if not done[i, g]:
+                s = g * gsz
+                for k in range(gsz):
+                    if scores[i, s + k] > -1e8:
+                        hyps[i][g].append(
+                            (float(scores[i, s + k]) / max(pos, 1),
+                             tok3[i, s + k].copy())
+                        )
+        best = max((h for g in range(num_beam_groups) for h in hyps[i][g]),
+                   key=lambda h: h[0])
+        out[i] = best[1][:final_len]
     if fixed_output_length and out.shape[1] < seq_len:
         out = np.concatenate(
             [out, np.full((b, seq_len - out.shape[1]), pad, np.int32)], axis=1

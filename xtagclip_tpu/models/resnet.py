@@ -14,10 +14,30 @@ from __future__ import annotations
 
 from typing import Any, Optional, Tuple
 
+import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
 Dtype = Any
+
+
+def _bound_axis(name: Optional[str]) -> Optional[str]:
+    """Return `name` if that mesh axis is bound in the current trace, else None.
+
+    Makes --use-bn-sync (reference main_other.py:370-371, SyncBatchNorm) safe
+    under BOTH execution modes: under plain jit/GSPMD the axis is unbound and
+    BatchNorm statistics are already computed over the *global* batch array
+    (XLA inserts the cross-chip reduction for a sharded batch — sync-BN by
+    construction); under shard_map/pmap the axis is bound and nn.BatchNorm
+    adds the explicit lax.pmean cross-replica reduction.
+    """
+    if name is None:
+        return None
+    try:
+        jax.lax.axis_index(name)  # cheap probe; DCE'd from the compiled graph
+        return name
+    except NameError:
+        return None
 
 
 class _Conv(nn.Module):
@@ -57,7 +77,7 @@ class Bottleneck(nn.Module):
             return nn.BatchNorm(
                 use_running_average=not train, momentum=0.9, epsilon=1e-5,
                 dtype=self.dtype, param_dtype=self.param_dtype, name=name,
-                axis_name=self.bn_axis_name if train else None,
+                axis_name=_bound_axis(self.bn_axis_name) if train else None,
             )
 
         conv = lambda f, k, name, p=0: nn.Conv(
@@ -152,7 +172,7 @@ class ModifiedResNet(nn.Module):
             return nn.BatchNorm(
                 use_running_average=not train, momentum=0.9, epsilon=1e-5,
                 dtype=self.dtype, param_dtype=self.param_dtype, name=name,
-                axis_name=self.bn_axis_name if train else None,
+                axis_name=_bound_axis(self.bn_axis_name) if train else None,
             )
 
         conv = lambda f, k, s, name, p=0: nn.Conv(

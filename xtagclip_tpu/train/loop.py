@@ -24,12 +24,19 @@ import jax
 import jax.numpy as jnp
 
 from xtagclip_tpu.losses import asymmetric_loss, clip_loss, dqncos_loss, siglip_loss
+from xtagclip_tpu.losses.distill import distill_loss
 from xtagclip_tpu.train.train_state import TrainState, apply_gradients
 
 
 def _model_losses(module, params, batch, rngs, args_cfg, prompt_table,
-                  extra_vars=None):
-    """Forward + the XTag loss combination. Returns (total, (metrics, vars))."""
+                  extra_vars=None, teacher=None):
+    """Forward + the XTag loss combination. Returns (total, (metrics, vars)).
+
+    `teacher` = (teacher_module, teacher_variables) enables distillation
+    (reference DistillClipLoss, loss.py:187-223 wired via --distill-model):
+    the frozen teacher forward runs inside the same jit so XLA overlaps it
+    with the student's compute.
+    """
     variables = {"params": params, **(extra_vars or {})}
     mutable = list(extra_vars) if extra_vars else False
     out = module.apply(
@@ -59,6 +66,26 @@ def _model_losses(module, params, batch, rngs, args_cfg, prompt_table,
     metrics = {"contrastive_loss": contrastive, "logit_scale": logit_scale}
     total = contrastive
 
+    if teacher is not None:
+        t_module, t_vars = teacher
+        t_out = t_module.apply(
+            t_vars,
+            batch["images"],
+            text=batch.get("texts"),
+            prompt_table=prompt_table,
+            class_ids=batch.get("class_ids"),
+            template_id=batch.get("template_id", 0),
+            deterministic=True,
+        )
+        dist_l = distill_loss(
+            out["image_features"], out["text_features"], logit_scale,
+            jax.lax.stop_gradient(t_out["image_features"]),
+            jax.lax.stop_gradient(t_out["text_features"]),
+            jax.lax.stop_gradient(t_out["logit_scale"]),
+        )
+        metrics["distill_loss"] = dist_l
+        total = total + dist_l
+
     if args_cfg.get("use_tagging_loss", True) and "additional" in batch:
         target = jnp.tile(batch["additional"], (1, 2))
         tag_l = asymmetric_loss(
@@ -85,6 +112,7 @@ def make_train_step(
     args_cfg: Dict[str, Any],
     prompt_table=None,
     donate: bool = True,
+    teacher=None,
 ):
     """Build the jitted single-step update: (state, batch, rng) -> (state, metrics)."""
 
@@ -94,7 +122,7 @@ def make_train_step(
         def loss_fn(params):
             return _model_losses(
                 module, params, batch, rngs, args_cfg, prompt_table,
-                extra_vars=state.extra_vars,
+                extra_vars=state.extra_vars, teacher=teacher,
             )
 
         (_, (metrics, new_vars)), grads = jax.value_and_grad(
@@ -115,6 +143,7 @@ def make_multi_step(
     args_cfg: Dict[str, Any],
     num_steps: int,
     prompt_table=None,
+    teacher=None,
 ):
     """K optimizer steps inside ONE jit via lax.scan over stacked batches
     [K, B, ...]. Amortizes per-dispatch overhead (critical on remote/tunneled
@@ -127,7 +156,7 @@ def make_multi_step(
         def loss_fn(params):
             return _model_losses(
                 module, params, batch, {"dropout": rng}, args_cfg,
-                prompt_table, extra_vars=state.extra_vars,
+                prompt_table, extra_vars=state.extra_vars, teacher=teacher,
             )
 
         (_, (metrics, new_vars)), grads = jax.value_and_grad(

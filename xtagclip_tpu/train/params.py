@@ -133,6 +133,14 @@ def parse_args(args=None, include_xtag: bool = True):
     parser.add_argument("--torchscript", default=False, action="store_true")
     parser.add_argument("--torchcompile", default=False, action="store_true")
     parser.add_argument("--trace", default=False, action="store_true")
+    # TPU-native profiling (SURVEY 5.1): capture a jax.profiler trace of a
+    # short steady-state step window during epoch 0
+    parser.add_argument("--profile", default=False, action="store_true",
+                        help="capture a jax.profiler trace in epoch 0")
+    parser.add_argument("--profile-dir", default=None, type=str,
+                        help="trace output dir (default logs/<name>/trace)")
+    parser.add_argument("--profile-steps", default=5, type=int,
+                        help="number of steps to trace")
     parser.add_argument("--accum-freq", type=int, default=1)
     # device/distributed plumbing (mesh replaces process groups; kept for CLI)
     parser.add_argument("--device", default="tpu", type=str)

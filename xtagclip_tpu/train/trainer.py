@@ -113,9 +113,23 @@ def train_one_epoch(
                 return bd
             return shard_batch(bd, mesh, accum=accum_freq > 1)
 
+    # --profile: capture a jax.profiler trace of a short steady-state window
+    # (skips step 0/1 compile) in epoch 0 (SURVEY 5.1: the TPU equivalent of
+    # the reference's flop-counter/torch-trace tooling).
+    profile = bool(getattr(args, "profile", False)) and epoch == 0
+    profile_dir = getattr(args, "profile_dir", None) or (
+        f"{getattr(args, 'logs', '.')}/{getattr(args, 'name', 'run')}/trace"
+    )
+    prof_start, prof_stop = 2, 2 + int(getattr(args, "profile_steps", 5) or 5)
+    profiling = False
+
     end = time.time()
     last_metrics = {}
     for i, batch in enumerate(dataloader):
+        if profile and i == prof_start:
+            jax.profiler.start_trace(profile_dir)
+            profiling = True
+            logging.info("profiler trace started -> %s", profile_dir)
         batch_dict, _, _ = adapt_batch(
             batch,
             use_tagging=getattr(args, "use_tagging", False),
@@ -128,6 +142,12 @@ def train_one_epoch(
             batch_dict = shard(batch_dict)
         data_time.update(time.time() - end)
         state, metrics = step_fn(state, batch_dict, rng_key)
+
+        if profiling and (i + 1 == prof_stop or i == num_batches - 1):
+            jax.block_until_ready(state.params)
+            jax.profiler.stop_trace()
+            profiling = False
+            logging.info("profiler trace written -> %s", profile_dir)
 
         if (i % args.log_every_n_steps) == 0 or i == num_batches - 1:
             metrics = jax.device_get(metrics)
