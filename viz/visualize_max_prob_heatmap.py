@@ -1,9 +1,13 @@
-"""Per-(class, tag-group) mean max-probability heatmap.
+"""Per-(class, tag-group) tag-accuracy heatmap.
 
-Equivalent of reference visualize_max_prob_heatmap.py: consumes the class
-output (with per-sample score vectors) and tagging output, computes the mean
-of the per-sample max softmax probability per (gt class, tag group) cell, and
-writes a heatmap PNG + CSV.
+Chart-for-chart equivalent of reference visualize_max_prob_heatmap.py: despite
+the name, the reference computes the MEAN PER-GROUP TAG ACCURACY — for every
+sample whose GT and predicted tag sets both carry a group, score 1 if they
+agree, 0 otherwise, averaged per (gt class, group) (reference :217-249).
+Emits
+
+  scar_tag_max_prob_heatmap.png   (classes x 6 groups, annotated, [0,1])
+  scar_tag_max_prob_data.csv      (same matrix, pandas-style: index=class)
 
 Usage:
   python viz/visualize_max_prob_heatmap.py \
@@ -14,42 +18,18 @@ Usage:
 from __future__ import annotations
 
 import argparse
-import csv
 import os
 import sys
-from collections import defaultdict
 
 import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
-from parse_outputs import TAG_GROUPS, parse_class_data, parse_tagging_data  # noqa: E402
-
-
-def softmax(x):
-    x = np.asarray(x, np.float64)
-    x = x - x.max()
-    e = np.exp(x)
-    return e / e.sum()
-
-
-def build_heatmap(class_data, tagging_data):
-    groups = list(TAG_GROUPS)
-    cells = defaultdict(list)  # (cls, group) -> [max prob]
-    classes = sorted({c["gt_class"] for c in class_data})
-    for c, t in zip(class_data, tagging_data):
-        if c["scores"] is None:
-            continue
-        p = float(softmax(c["scores"]).max())
-        for group in groups:
-            if t["pred_tags"].get(group) is not None:
-                cells[(c["gt_class"], group)].append(p)
-    mat = np.full((len(classes), len(groups)), np.nan)
-    for i, cls in enumerate(classes):
-        for j, g in enumerate(groups):
-            vals = cells.get((cls, g))
-            if vals:
-                mat[i, j] = float(np.mean(vals))
-    return classes, groups, mat
+from parse_outputs import (  # noqa: E402
+    merge_data,
+    parse_class_data,
+    parse_tagging_data,
+    tag_accuracy_matrix,
+)
 
 
 def main(argv=None):
@@ -68,16 +48,16 @@ def main(argv=None):
                                   args.class_end)
     tagging_data = parse_tagging_data(args.tag_file, args.tag_start,
                                       args.tag_end)
-    n = min(len(class_data), len(tagging_data))
-    classes, groups, mat = build_heatmap(class_data[:n], tagging_data[:n])
+    merged = merge_data(class_data, tagging_data)
+    acc, classes, groups = tag_accuracy_matrix(merged)
+    classes = classes[:3]  # the reference caps the heatmap at 3 classes
+    mat = np.array([[acc[c][g] for g in groups] for c in classes])
 
-    csv_path = os.path.join(args.output_dir, "max_prob_heatmap.csv")
+    csv_path = os.path.join(args.output_dir, "scar_tag_max_prob_data.csv")
     with open(csv_path, "w", newline="") as f:
-        w = csv.writer(f)
-        w.writerow(["class"] + groups)
+        f.write("," + ",".join(groups) + "\n")
         for i, cls in enumerate(classes):
-            w.writerow([cls] + [f"{v:.4f}" if np.isfinite(v) else ""
-                                for v in mat[i]])
+            f.write(cls + "," + ",".join(str(v) for v in mat[i]) + "\n")
     print(f"saved {csv_path}")
 
     import matplotlib
@@ -85,22 +65,20 @@ def main(argv=None):
     matplotlib.use("Agg")
     import matplotlib.pyplot as plt
 
-    fig, ax = plt.subplots(figsize=(10, 4))
-    im = ax.imshow(np.nan_to_num(mat), cmap="viridis", vmin=0, vmax=1)
+    fig, ax = plt.subplots(figsize=(12, 7))
+    ax.imshow(mat, cmap="YlGnBu", vmin=0, vmax=1, aspect="auto")
     ax.set_xticks(range(len(groups)))
-    ax.set_xticklabels(groups, rotation=25, ha="right", fontsize=8)
+    ax.set_xticklabels(groups, fontsize=15)
     ax.set_yticks(range(len(classes)))
-    ax.set_yticklabels(classes, fontsize=8)
+    ax.set_yticklabels(classes, fontsize=15)
     for i in range(len(classes)):
         for j in range(len(groups)):
-            if np.isfinite(mat[i, j]):
-                ax.text(j, i, f"{mat[i, j]:.2f}", ha="center", va="center",
-                        color="w", fontsize=7)
-    fig.colorbar(im, ax=ax, shrink=0.8)
-    ax.set_title("Mean max class probability per (class, tag group)")
+            ax.text(j, i, f"{mat[i, j]:.2f}", ha="center", va="center",
+                    fontsize=15,
+                    color="white" if mat[i, j] > 0.6 else "black")
     fig.tight_layout()
-    png_path = os.path.join(args.output_dir, "max_prob_heatmap.png")
-    fig.savefig(png_path, dpi=120)
+    png_path = os.path.join(args.output_dir, "scar_tag_max_prob_heatmap.png")
+    fig.savefig(png_path, dpi=120, bbox_inches="tight")
     plt.close(fig)
     print(f"saved {png_path}")
 
