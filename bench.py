@@ -74,6 +74,85 @@ def main():
     dt = time.perf_counter() - t0
     imgs_per_sec = batch * K / dt
 
+    # train-step throughput (reference headline telemetry: samples/s,
+    # train_other.py:251-259): full contrastive train step — forward both
+    # towers, backward, AdamW — KT steps chained in one jit via
+    # make_multi_step. Guarded: the headline JSON must print even if an
+    # optional section fails or the compile budget runs out.
+    train_samples_per_s = None
+    try:
+        import sys
+
+        from xtagclip_tpu.train.loop import make_multi_step
+        from xtagclip_tpu.train.scheduler import cosine_lr
+        from xtagclip_tpu.train.train_state import (
+            create_train_state,
+            make_optimizer,
+        )
+
+        tb = 128  # per-chip train batch
+        KT = 4
+        tx = make_optimizer(cosine_lr(1e-4, 10, 1000), params=params,
+                            weight_decay=0.1)
+        state = create_train_state(params, tx)
+        texts = jnp.asarray(rng.integers(1, 49407, size=(KT, tb, 77)),
+                            jnp.int32)
+        imgs_f = normalize_images(
+            jax.device_put(
+                rng.integers(0, 256,
+                             size=(KT, tb, 224, 224, 3)).astype(np.uint8),
+                dev),
+            dtype=jnp.bfloat16)
+        batches = {"images": imgs_f, "texts": texts}
+        # donate=False: one compile (donation changes the output layout and
+        # forces a second compile), and `params` stays alive for the latency
+        # section below.
+        step_fn = make_multi_step(bundle.module, tx,
+                                  {"use_tagging_loss": False}, num_steps=KT,
+                                  donate=False)
+        print("bench: compiling train step...", file=sys.stderr, flush=True)
+        # two warm calls: the fresh state's layout differs from the jitted
+        # output's, so feeding the output back recompiles exactly once; a
+        # host readback of the loss is the only true sync on this async
+        # tunnel runtime (block_until_ready returns early here)
+        for i in range(2):
+            state, m = step_fn(state, batches, jax.random.PRNGKey(i))
+            np.asarray(m["loss"])
+        reps = 4  # chained through state: one readback times all reps
+        t0 = time.perf_counter()
+        for i in range(reps):
+            state, m = step_fn(state, batches, jax.random.PRNGKey(1 + i))
+        np.asarray(m["loss"])
+        train_samples_per_s = round(
+            tb * KT * reps / (time.perf_counter() - t0), 1)
+    except Exception as e:  # noqa: BLE001
+        train_samples_per_s = f"unavailable: {type(e).__name__}"
+
+    # host JPEG-decode rate (the data plane the device pipeline number
+    # excludes): native threaded libjpeg decode+resize+crop to 224.
+    # JPEG decode is host-bound on this 1-core box — reported separately so
+    # the "JPEG->embedding" north star is stated honestly.
+    decode_imgs_per_s = None
+    try:
+        from io import BytesIO
+
+        from PIL import Image
+
+        from xtagclip_tpu.data.native import decode_batch
+
+        jpegs = []
+        for i in range(64):
+            arr = rng.integers(0, 256, size=(480, 640, 3)).astype(np.uint8)
+            buf = BytesIO()
+            Image.fromarray(arr).save(buf, format="JPEG", quality=90)
+            jpegs.append(buf.getvalue())
+        decode_batch(jpegs[:8], 224)  # warm the lib
+        t0 = time.perf_counter()
+        decode_batch(jpegs, 224)
+        decode_imgs_per_s = round(len(jpegs) / (time.perf_counter() - t0), 1)
+    except Exception as e:  # noqa: BLE001
+        decode_imgs_per_s = f"unavailable: {type(e).__name__}"
+
     # host->device transfer bandwidth (distinct buffers, full sync)
     bufs = [rng.integers(0, 256, size=(batch, 224, 224, 3)).astype(np.uint8)
             for _ in range(6)]
@@ -99,10 +178,15 @@ def main():
         "value": round(imgs_per_sec, 1),
         "unit": "images/sec/chip",
         "vs_baseline": round(imgs_per_sec / 5000.0, 3),
+        "train_samples_per_sec_chip": train_samples_per_s,
+        "decode_imgs_per_sec_host": decode_imgs_per_s,
         "p50_classify_latency_ms": round(p50_ms, 3),
         "h2d_bandwidth_MBps": round(h2d_mbps, 0),
         "device": str(dev),
         "batch": batch,
+        "note": ("device pipeline rate from device-resident uint8; JPEG "
+                 "decode (host-bound, 1-core box) and h2d (tunnel-limited) "
+                 "reported separately"),
     }
     print(json.dumps(result))
 

@@ -144,6 +144,7 @@ def make_multi_step(
     num_steps: int,
     prompt_table=None,
     teacher=None,
+    donate: bool = True,
 ):
     """K optimizer steps inside ONE jit via lax.scan over stacked batches
     [K, B, ...]. Amortizes per-dispatch overhead (critical on remote/tunneled
@@ -171,7 +172,9 @@ def make_multi_step(
         rngs = jax.random.split(rng, num_steps)
         return jax.lax.scan(one, state, (batches, rngs))
 
-    return jax.jit(multi, donate_argnums=(0,))
+    # donate=False keeps the input state alive (and avoids the one-time
+    # recompile when the donated output layout differs from the input's)
+    return jax.jit(multi, donate_argnums=(0,) if donate else ())
 
 
 def optax_global_norm(tree):
