@@ -123,6 +123,15 @@ class ModelBundle:
             method=self.module.encode_text,
         )
 
+    def forward_intermediates(self, image=None, text=None, params=None,
+                              **kwargs):
+        """Per-block intermediate features (reference model.py:395-456)."""
+        return self.module.apply(
+            self._variables(params), image=image,
+            text=None if text is None else jnp.asarray(text),
+            method=self.module.forward_intermediates, **kwargs,
+        )
+
 
 def _build_vision_tower(embed_dim: int, vision_cfg: dict, quick: bool,
                         dtype, param_dtype, remat: bool = False,

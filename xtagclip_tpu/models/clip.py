@@ -152,6 +152,77 @@ class CLIP(nn.Module):
             image_logits = image_logits + self.logit_bias
         return image_logits, image_logits.T
 
+    def forward_intermediates(
+        self,
+        image=None,
+        text=None,
+        image_indices=None,
+        text_indices=None,
+        normalize: bool = True,
+        normalize_intermediates: bool = False,
+        intermediates_only: bool = False,
+        image_output_fmt: str = "NCHW",
+        image_output_extra_tokens: bool = False,
+        text_output_fmt: str = "NLC",
+        text_output_extra_tokens: bool = False,
+        output_logits: bool = False,
+        output_logit_scale_bias: bool = False,
+        deterministic: bool = True,
+    ):
+        """Per-block intermediate features from either/both towers
+        (reference model.py:395-456 contract). Requires unrolled CLIP towers
+        (VisionTransformer/TextTransformer with scan_layers=False)."""
+        del text_output_fmt  # NLC is the only text layout (reference parity)
+        output = {}
+        if intermediates_only:
+            normalize = False
+            output_logits = False
+        if output_logits:
+            assert image is not None and text is not None, (
+                "both image and text inputs are required to compute logits")
+
+        if image is not None:
+            output.update(self.visual(
+                image, deterministic=deterministic,
+                intermediates_cfg={
+                    "indices": image_indices,
+                    "normalize_intermediates": normalize_intermediates,
+                    "intermediates_only": intermediates_only,
+                    "output_fmt": image_output_fmt,
+                    "output_extra_tokens": image_output_extra_tokens,
+                },
+            ))
+            if "image_features" in output and normalize:
+                output["image_features"] = l2_normalize(
+                    output["image_features"])
+        if text is not None:
+            output.update(self.text(
+                text, deterministic=deterministic,
+                intermediates_cfg={
+                    "indices": text_indices,
+                    "normalize_intermediates": normalize_intermediates,
+                    "intermediates_only": intermediates_only,
+                    "output_extra_tokens": text_output_extra_tokens,
+                },
+            ))
+            if "text_features" in output and normalize:
+                output["text_features"] = l2_normalize(output["text_features"])
+
+        scale = jnp.exp(self.logit_scale)
+        if output_logits:
+            image_logits = scale * (
+                output["image_features"] @ output["text_features"].T
+            )
+            if self.logit_bias is not None:
+                image_logits = image_logits + self.logit_bias
+            output["image_logits"] = image_logits
+            output["text_logits"] = image_logits.T
+        if output_logit_scale_bias:
+            output["logit_scale"] = scale
+            if self.logit_bias is not None:
+                output["logit_bias"] = self.logit_bias
+        return output
+
     # ---- full forward ----------------------------------------------------
     def __call__(
         self,

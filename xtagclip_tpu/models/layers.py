@@ -58,6 +58,25 @@ class LayerNorm(nn.Module):
         return y.astype(orig_dtype)
 
 
+def feature_take_indices(num_features: int, indices=None):
+    """Absolute block indices to take (reference utils.py:94-133):
+    None -> all, int -> last n, list -> explicit (negatives from the end)."""
+    if indices is None:
+        indices = num_features
+    if isinstance(indices, int):
+        assert 0 < indices <= num_features, (
+            f"last-n ({indices}) out of range (1 to {num_features})")
+        take = [num_features - indices + i for i in range(indices)]
+    else:
+        take = []
+        for i in indices:
+            idx = num_features + i if i < 0 else i
+            assert 0 <= idx < num_features, (
+                f"feature index {idx} out of range (0 to {num_features - 1})")
+            take.append(idx)
+    return take, max(take)
+
+
 class LayerScale(nn.Module):
     init_values: float = 1e-5
     param_dtype: Dtype = jnp.float32

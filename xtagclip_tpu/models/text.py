@@ -14,7 +14,12 @@ from typing import Any, Callable, Optional
 import jax.numpy as jnp
 from flax import linen as nn
 
-from xtagclip_tpu.models.layers import LayerNorm, Transformer, gelu_exact
+from xtagclip_tpu.models.layers import (
+    LayerNorm,
+    Transformer,
+    feature_take_indices,
+    gelu_exact,
+)
 
 Dtype = Any
 
@@ -61,7 +66,13 @@ class TextTransformer(nn.Module):
     param_dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, text, deterministic: bool = True):
+    def __call__(self, text, deterministic: bool = True,
+                 intermediates_cfg=None):
+        """intermediates_cfg activates the forward_intermediates contract
+        (reference transformer.py:1067-1136): dict with optional keys
+        {indices, normalize_intermediates, intermediates_only,
+        output_extra_tokens} returning the reference's output dict instead
+        of (projected, seq)."""
         num_pos = self.context_length + (1 if self.embed_cls else 0)
 
         token_embedding = nn.Embed(
@@ -99,21 +110,34 @@ class TextTransformer(nn.Module):
         )
         x = x + pos.astype(x.dtype)[: x.shape[1]]
 
-        x = Transformer(
+        transformer = Transformer(
             width=self.width, layers=self.layers, heads=self.heads,
             mlp_ratio=self.mlp_ratio, ls_init_value=self.ls_init_value,
             act=self.act, norm_eps=self.norm_eps, remat=self.remat,
             scan_layers=self.scan_layers,
             dtype=self.dtype, param_dtype=self.param_dtype, name="transformer",
-        )(x, attn_mask=attn_mask, deterministic=deterministic)
+        )
+        inters = None
+        if intermediates_cfg is not None:
+            if self.scan_layers:
+                raise NotImplementedError(
+                    "forward_intermediates requires unrolled layers "
+                    "(scan_layers=False)")
+            x, inters = transformer(x, attn_mask=attn_mask,
+                                    deterministic=deterministic,
+                                    return_intermediates=True)
+        else:
+            x = transformer(x, attn_mask=attn_mask,
+                            deterministic=deterministic)
 
+        ln_final = LayerNorm(eps=self.norm_eps, name="ln_final")
         if self.embed_cls:
             # cls token appended at the end; pooled = cls, tokens = rest
             pooled, tokens = x[:, -1], x[:, :-1]
-            pooled = LayerNorm(eps=self.norm_eps, name="ln_final")(pooled)
+            pooled = ln_final(pooled)
             seq_out = tokens
         else:
-            x = LayerNorm(eps=self.norm_eps, name="ln_final")(x)
+            x = ln_final(x)
             pooled = text_global_pool(x, text, self.pool_type)
             seq_out = x
 
@@ -132,5 +156,22 @@ class TextTransformer(nn.Module):
             projected = jnp.matmul(
                 pooled, w.astype(pooled.dtype), preferred_element_type=jnp.float32
             ).astype(pooled.dtype)
+
+        if intermediates_cfg is not None:
+            cfg = dict(intermediates_cfg)
+            take, _ = feature_take_indices(self.layers, cfg.get("indices"))
+            sel = [inters[i] for i in take]
+            if cfg.get("normalize_intermediates"):
+                sel = [ln_final(t) for t in sel]
+            out = {}
+            if self.embed_cls:
+                if cfg.get("output_extra_tokens"):
+                    out["text_intermediates_suffix"] = [t[:, -1:] for t in sel]
+                sel = [t[:, :-1] for t in sel]
+            out["text_intermediates"] = sel
+            if cfg.get("intermediates_only"):
+                return out
+            out["text_features"] = projected
+            return out
 
         return projected, seq_out

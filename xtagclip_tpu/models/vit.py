@@ -24,6 +24,7 @@ from xtagclip_tpu.models.layers import (
     AttentionalPooler,
     LayerNorm,
     Transformer,
+    feature_take_indices,
     gelu_exact,
     patch_dropout,
 )
@@ -82,7 +83,13 @@ class VisionTransformer(nn.Module):
         return x.reshape(b, gh * gw, ph * pw * c)
 
     @nn.compact
-    def __call__(self, x, deterministic: bool = True):
+    def __call__(self, x, deterministic: bool = True,
+                 intermediates_cfg=None):
+        """intermediates_cfg activates the forward_intermediates contract
+        (reference transformer.py:743-808): a dict with optional keys
+        {indices, normalize_intermediates, intermediates_only, output_fmt
+        ('NCHW'|'NLC'), output_extra_tokens} returning the reference's output
+        dict instead of (pooled, tokens)."""
         scale = self.width**-0.5
         gh, gw = self.grid_size
         n_tok = gh * gw + 1
@@ -138,13 +145,27 @@ class VisionTransformer(nn.Module):
         if not self.no_ln_pre:
             x = LayerNorm(eps=self.norm_eps, name="ln_pre")(x)
 
-        x = Transformer(
+        transformer = Transformer(
             width=self.width, layers=self.layers, heads=self.heads,
             mlp_ratio=self.mlp_ratio, ls_init_value=self.ls_init_value,
             act=self.act, norm_eps=self.norm_eps, remat=self.remat,
             scan_layers=self.scan_layers,
             dtype=self.dtype, param_dtype=self.param_dtype, name="transformer",
-        )(x, deterministic=deterministic)
+        )
+        inters = None
+        if intermediates_cfg is not None:
+            if self.scan_layers:
+                raise NotImplementedError(
+                    "forward_intermediates requires unrolled layers "
+                    "(scan_layers=False)")
+            if self.attentional_pool:
+                raise NotImplementedError(
+                    "forward_intermediates is not supported with "
+                    "attentional_pool towers")
+            x, inters = transformer(x, deterministic=deterministic,
+                                    return_intermediates=True)
+        else:
+            x = transformer(x, deterministic=deterministic)
 
         tokens = x
         if self.attentional_pool:
@@ -179,6 +200,31 @@ class VisionTransformer(nn.Module):
         pooled = jnp.matmul(
             pooled, proj.astype(pooled.dtype), preferred_element_type=jnp.float32
         ).astype(pooled.dtype)
+
+        if intermediates_cfg is not None:
+            cfg = dict(intermediates_cfg)
+            fmt = cfg.get("output_fmt", "NCHW")
+            assert fmt in ("NCHW", "NLC"), fmt
+            take, _ = feature_take_indices(self.layers, cfg.get("indices"))
+            sel = [inters[i] for i in take]
+            if cfg.get("normalize_intermediates"):
+                sel = [ln_post(t) for t in sel]
+            prefix = [t[:, :1] for t in sel]
+            spatial = [t[:, 1:] for t in sel]
+            if fmt == "NCHW":
+                assert self.n_learnable_tokens == 0, (
+                    "NCHW output requires a pure spatial token grid")
+                spatial = [
+                    t.reshape(t.shape[0], gh, gw, -1).transpose(0, 3, 1, 2)
+                    for t in spatial
+                ]
+            out = {"image_intermediates": spatial}
+            if cfg.get("output_extra_tokens"):
+                out["image_intermediates_prefix"] = prefix
+            if cfg.get("intermediates_only"):
+                return out
+            out["image_features"] = pooled
+            return out
 
         if self.output_tokens:
             # XTag edit (reference transformer.py:860-876): project every token
