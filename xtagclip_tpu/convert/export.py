@@ -179,3 +179,42 @@ def save_hf_checkpoint(bundle, save_dir: str, tokenizer=None):
     if tokenizer is not None and hasattr(tokenizer, "save_pretrained"):
         tokenizer.save_pretrained(save_dir)
     return save_dir
+
+
+def push_to_hf_hub(bundle, repo_id: str, tokenizer=None, commit_message=None,
+                   private: bool = False, local_dir: str | None = None):
+    """Package + upload to the HF hub (reference push_to_hf_hub.py surface).
+
+    Always writes the hub directory layout locally (local_dir or a temp dir);
+    the upload step requires huggingface_hub credentials and network access
+    and raises with the prepared path if either is unavailable.
+    """
+    import tempfile
+
+    save_dir = local_dir or tempfile.mkdtemp(prefix="hf_push_")
+    save_hf_checkpoint(bundle, save_dir, tokenizer=tokenizer)
+    try:
+        from huggingface_hub import HfApi
+
+        api = HfApi()
+        api.create_repo(repo_id, private=private, exist_ok=True)
+        api.upload_folder(
+            folder_path=save_dir, repo_id=repo_id,
+            commit_message=commit_message or "Add model",
+        )
+        return repo_id
+    except Exception as e:  # noqa: BLE001 — no-egress envs land here
+        raise RuntimeError(
+            f"hub upload unavailable ({type(e).__name__}); the packaged "
+            f"checkpoint is at {save_dir}"
+        ) from e
+
+
+def push_pretrained_to_hf_hub(model_name: str, pretrained: str, repo_id: str,
+                              **kwargs):
+    """Build-from-pretrained then push (reference push_to_hf_hub.py:ditto)."""
+    from xtagclip_tpu.factory import create_model, get_tokenizer
+
+    bundle = create_model(model_name, pretrained)
+    return push_to_hf_hub(bundle, repo_id, tokenizer=get_tokenizer(model_name),
+                          **kwargs)

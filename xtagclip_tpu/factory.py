@@ -440,6 +440,22 @@ def list_openai_models():
     return list_pretrained_models_by_tag("openai")
 
 
+def load_openai_model(name: str, precision: str = "fp32", **kwargs):
+    """Build a model from an OpenAI JIT-archive checkpoint (reference
+    openai.py:24-90 surface). `name` is a registry name with an 'openai'
+    pretrained tag, or a local path paired with a model name via kwargs."""
+    return create_model(name, pretrained="openai", precision=precision,
+                        **kwargs)
+
+
+def load_checkpoint(bundle, path: str, strict: bool = False):
+    """Load a torch/.npz/orbax checkpoint into a built bundle (reference
+    factory.py:177-221 surface)."""
+    from xtagclip_tpu.convert.loader import load_checkpoint_into
+
+    return load_checkpoint_into(bundle, path, strict=strict)
+
+
 def create_model_from_pretrained(
     model_name: str,
     pretrained: Optional[str] = None,

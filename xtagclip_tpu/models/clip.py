@@ -290,3 +290,10 @@ class CLIP(nn.Module):
                 image_features_g=image_g,
             )
         return out
+
+
+# The reference maintains CLIP and CustomTextCLIP as two classes differing
+# only in how the text tower is attached (model.py:227-590 vs :593-936); here
+# a single assembly accepts any text tower module (TextTransformer, HF BERT
+# family, mT5, NLLB), so the custom-text name is the same class.
+CustomTextCLIP = CLIP

@@ -64,6 +64,21 @@ def build_zero_shot_classifier(
     return feats.T.astype(jnp.float32)  # [D, C]
 
 
+def build_zero_shot_classifier_legacy(
+    module,
+    params,
+    tokenizer,
+    classnames: Sequence[str],
+    templates: Sequence[str],
+) -> jnp.ndarray:
+    """One-class-at-a-time variant (reference zero_shot_classifier.py:71-109):
+    same output as build_zero_shot_classifier with per-class batching."""
+    return build_zero_shot_classifier(
+        module, params, tokenizer, classnames, templates,
+        num_classes_per_batch=1,
+    )
+
+
 def _pick_classnames_templates(data_key: str):
     if "scar" in data_key.lower():
         return metadata.SCAR_CLASSNAMES, metadata.SIMPLE_SCAR_TEMPLATES
