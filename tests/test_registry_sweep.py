@@ -14,7 +14,12 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
-from xtagclip_tpu.factory import create_model, get_model_config, list_models
+from xtagclip_tpu.factory import (
+    create_model,
+    get_model_config,
+    list_builtin_models,
+    list_models,
+)
 
 pytestmark = pytest.mark.e2e
 
@@ -34,7 +39,10 @@ def _shape_init(name):
 
 
 def test_every_registry_config_builds():
-    names = list_models()
+    # builtin names only: other tests legitimately add tiny configs at
+    # runtime via add_model_config, which must not affect this sweep
+    names = list_builtin_models()
+    assert set(names) <= set(list_models())
     # the reference's 113 configs + 3 CL32-GAP configs its CLIPA recipe
     # scripts pin but its own zoo is missing
     assert len(names) == 116

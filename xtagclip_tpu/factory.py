@@ -29,6 +29,7 @@ from xtagclip_tpu.models.vit import VisionTransformer
 from xtagclip_tpu.utils.assets import asset_path
 
 _MODEL_CONFIGS: Dict[str, dict] = {}
+_BUILTIN_NAMES: Tuple[str, ...] = ()
 
 
 def _natural_key(s: str):
@@ -48,9 +49,11 @@ def _rescan_model_configs():
             cfg = flat
         if all(k in cfg for k in ("embed_dim", "vision_cfg", "text_cfg")):
             configs[f.stem] = cfg
+    global _BUILTIN_NAMES
     _MODEL_CONFIGS = {
         k: configs[k] for k in sorted(configs, key=_natural_key)
     }
+    _BUILTIN_NAMES = tuple(_MODEL_CONFIGS)
 
 
 _rescan_model_configs()
@@ -58,6 +61,12 @@ _rescan_model_configs()
 
 def list_models():
     return list(_MODEL_CONFIGS.keys())
+
+
+def list_builtin_models():
+    """Names shipped in assets/model_configs (excludes runtime
+    add_model_config registrations)."""
+    return list(_BUILTIN_NAMES)
 
 
 def get_model_config(model_name: str) -> Optional[dict]:

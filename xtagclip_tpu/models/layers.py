@@ -248,8 +248,34 @@ class MultiheadAttention(nn.Module):
         return out
 
 
+class _DenseParams(nn.Module):
+    """Declares nn.Dense-compatible params (kernel lecun_normal, bias zeros)
+    without applying them — lets MLP hand the raw weights to a fused kernel
+    while keeping the exact nn.Dense checkpoint layout."""
+
+    features: int
+    param_dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, in_features: int):
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(),
+            (in_features, self.features), self.param_dtype,
+        )
+        bias = self.param("bias", nn.initializers.zeros, (self.features,),
+                          self.param_dtype)
+        return kernel, bias
+
+
 class MLP(nn.Module):
-    """CLIP block MLP: c_fc -> act -> c_proj."""
+    """CLIP block MLP: c_fc -> act -> c_proj.
+
+    XTAG_FUSED_MLP=1 opts into the Pallas fused kernel (ops/fused_mlp.py):
+    standalone it beats XLA's lowering by 20-25% (hidden activation stays in
+    VMEM), but in the full graph the pallas_call fusion barrier costs more
+    than that saving (measured: 7,267 vs 7,806 img/s end-to-end), so the
+    default is the plain path — see PERF.md. Param structure is identical
+    either way (c_fc/c_proj kernels+biases)."""
 
     mlp_width: int
     act: Callable
@@ -258,7 +284,26 @@ class MLP(nn.Module):
 
     @nn.compact
     def __call__(self, x):
+        import os
+
         d = x.shape[-1]
+        act_name = {"gelu_exact": "gelu", "quick_gelu": "quick_gelu"}.get(
+            getattr(self.act, "__name__", ""))
+        if (act_name is not None and self.dtype == jnp.bfloat16
+                and os.environ.get("XTAG_FUSED_MLP")):
+            from xtagclip_tpu.ops.fused_mlp import maybe_fused_mlp
+
+            k1, b1 = _DenseParams(self.mlp_width, self.param_dtype,
+                                  name="c_fc")(d)
+            k2, b2 = _DenseParams(d, self.param_dtype, name="c_proj")(
+                self.mlp_width)
+            shape = x.shape
+            out = maybe_fused_mlp(
+                x.reshape(-1, d).astype(self.dtype),
+                k1.astype(self.dtype), b1,
+                k2.astype(self.dtype), b2, act_name,
+            )
+            return out.reshape(shape)
         h = nn.Dense(self.mlp_width, name="c_fc", dtype=self.dtype,
                      param_dtype=self.param_dtype)(x)
         h = self.act(h)
