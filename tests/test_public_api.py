@@ -8,7 +8,8 @@ REFERENCE_EXPORTS = [
     "create_model_from_pretrained", "create_loss", "add_model_config",
     "get_model_config", "get_tokenizer", "list_models", "list_openai_models",
     "load_checkpoint", "load_openai_model", "get_cast_dtype",
-    "get_input_dtype",
+    "get_input_dtype", "get_model_preprocess_cfg", "set_model_preprocess_cfg",
+    "get_model_tokenize_cfg",
     # models / cfgs
     "CLIP", "CustomTextCLIP", "CoCa", "CLIPVisionCfg", "CLIPTextCfg",
     # losses

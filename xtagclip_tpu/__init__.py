@@ -15,6 +15,9 @@ from xtagclip_tpu.factory import (
     get_cast_dtype,
     get_input_dtype,
     get_model_config,
+    get_model_preprocess_cfg,
+    get_model_tokenize_cfg,
+    set_model_preprocess_cfg,
     get_tokenizer,
     list_models,
 )

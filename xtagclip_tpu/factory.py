@@ -413,6 +413,26 @@ def create_model(
     return bundle
 
 
+def get_model_preprocess_cfg(bundle) -> dict:
+    """Preprocess config attached to a built model (reference
+    model.py:1131-1146 surface, adapted to ModelBundle)."""
+    pp = dict(bundle.preprocess_cfg or {})
+    pp.setdefault("size",
+                  bundle.model_cfg["vision_cfg"].get("image_size", 224))
+    return pp
+
+
+def set_model_preprocess_cfg(bundle, preprocess_cfg: dict):
+    """reference model.py:1149-1153 surface."""
+    bundle.preprocess_cfg = dict(preprocess_cfg)
+
+
+def get_model_tokenize_cfg(bundle) -> dict:
+    """reference model.py:1156-1164 surface."""
+    t = bundle.model_cfg.get("text_cfg", {})
+    return {k: t[k] for k in ("context_length", "vocab_size") if k in t}
+
+
 def create_loss(args):
     """Pick the training loss from args (reference factory.py:433-469)."""
     from xtagclip_tpu.losses import ClipLoss, DistillClipLoss, SigLipLoss
