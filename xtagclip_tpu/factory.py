@@ -261,6 +261,11 @@ def create_model(
     open_clip layout (no-egress environment: hub/url tags resolve only if the
     file is already cached locally).
     """
+    if model_name.startswith("hf-hub:"):
+        # hub id -> local config name (reference factory.py:294-301; in this
+        # no-egress environment the hub repo's config must ship in assets,
+        # as BiomedCLIP's does)
+        model_name = model_name[len("hf-hub:"):].split("/")[-1]
     model_name = model_name.replace("/", "-")
     cfg = get_model_config(model_name)
     if cfg is None:
