@@ -98,3 +98,57 @@ def test_coca_grouped_beam_search(coca_bundle, rng):
             generation_type="beam_search", num_beams=5, num_beam_groups=3,
             sot_token_id=198, eos_token_id=199,
         )
+
+
+def test_coca_train_step_descends(coca_bundle, rng):
+    """CoCa through make_train_step (reference main.py CoCa training with
+    CoCaLoss = weighted contrastive + pad-masked caption CE)."""
+    from xtagclip_tpu.train.loop import make_train_step
+    from xtagclip_tpu.train.scheduler import cosine_lr
+    from xtagclip_tpu.train.train_state import create_train_state, make_optimizer
+
+    batch = {
+        "images": rng.standard_normal((4, 32, 32, 3), dtype=np.float32),
+        "texts": rng.integers(1, 200, size=(4, 12)).astype(np.int32),
+    }
+    tx = make_optimizer(cosine_lr(1e-3, 2, 50), params=coca_bundle.params)
+    state = create_train_state(coca_bundle.params, tx)
+    step = make_train_step(
+        coca_bundle.module, tx,
+        {"coca": True, "coca_caption_loss_weight": 2.0,
+         "coca_contrastive_loss_weight": 1.0},
+        donate=False,
+    )
+    key = jax.random.PRNGKey(0)
+    losses = []
+    for _ in range(10):
+        state, m = step(state, batch, key)
+        losses.append(float(m["loss"]))
+    assert np.all(np.isfinite(losses))
+    assert losses[-1] < losses[0], losses
+    assert "caption_loss" in m and "contrastive_loss" in m
+
+
+def test_coca_cli_synthetic(tmp_path):
+    """CoCa end-to-end through the vanilla CLI on synthetic data."""
+    import json as _json
+
+    from xtagclip_tpu.cli import main as main_cli
+    from xtagclip_tpu.factory import add_model_config
+
+    cfg = dict(CFG)
+    cfg_path = tmp_path / "coca_tiny-cli.json"
+    cfg_path.write_text(_json.dumps(cfg))
+    add_model_config(cfg_path)
+
+    main_cli.main([
+        "--model", "coca_tiny-cli",
+        "--dataset-type", "synthetic",
+        "--train-num-samples", "8",
+        "--batch-size", "4", "--epochs", "1", "--warmup", "1",
+        "--precision", "fp32", "--lr", "1e-4",
+        "--logs", str(tmp_path / "logs"), "--name", "coca_e2e",
+        "--log-every-n-steps", "1", "--val-frequency", "0",
+        "--workers", "1",
+    ])
+    assert (tmp_path / "logs" / "coca_e2e" / "checkpoints" / "epoch_1").is_dir()

@@ -175,6 +175,12 @@ def main(argv=None):
         )
 
     args_cfg = {"siglip": args.siglip, "use_tagging_loss": False}
+    if "coca" in args.model.lower():
+        args_cfg.update(
+            coca=True,
+            coca_caption_loss_weight=args.coca_caption_loss_weight,
+            coca_contrastive_loss_weight=args.coca_contrastive_loss_weight,
+        )
     if args.accum_freq > 1:
         if teacher is not None:
             logging.warning(

@@ -39,6 +39,31 @@ def _model_losses(module, params, batch, rngs, args_cfg, prompt_table,
     """
     variables = {"params": params, **(extra_vars or {})}
     mutable = list(extra_vars) if extra_vars else False
+
+    if args_cfg.get("coca"):
+        # CoCa train path (reference main.py + CoCaLoss, loss.py:142-184):
+        # contrastive + pad-masked caption CE over the decoder logits.
+        import optax
+
+        out = module.apply(
+            variables, batch["images"], batch["texts"],
+            deterministic=False, rngs=rngs,
+        )
+        contrastive = clip_loss(
+            out["image_features"], out["text_features"], out["logit_scale"],
+        ) * args_cfg.get("coca_contrastive_loss_weight", 1.0)
+        ce = optax.softmax_cross_entropy_with_integer_labels(
+            out["logits"].astype(jnp.float32), out["labels"]
+        )
+        mask = (out["labels"] != args_cfg.get("pad_id", 0)).astype(jnp.float32)
+        caption = ((ce * mask).sum() / jnp.maximum(mask.sum(), 1.0)
+                   ) * args_cfg.get("coca_caption_loss_weight", 2.0)
+        metrics = {
+            "contrastive_loss": contrastive, "caption_loss": caption,
+            "logit_scale": out["logit_scale"], "loss": contrastive + caption,
+        }
+        return contrastive + caption, (metrics, {})
+
     out = module.apply(
         variables,
         batch["images"],
