@@ -12,6 +12,11 @@
 //   xtag_decode_resize(jpeg_bytes, len, target, out[target*target*3]) -> 0 ok
 //   xtag_decode_batch(ptrs, lens, n, target, out, n_threads) -> #ok
 //   xtag_resize_crop_u8(src, h, w, target, out) -> 0 ok   (raw RGB input)
+//   xtag_decode_rrc(jpeg, len, target, fx, fy, fw, fh, flip, out) -> 0 ok
+//       (train-time RandomResizedCrop: fractional crop box + optional hflip,
+//        the host side of reference transform.py:334-355)
+//   xtag_decode_rrc_batch(ptrs, lens, n, target, boxes[n*4], flips[n],
+//                         out, n_threads) -> #ok
 
 #include <cstddef>
 #include <cstdio>
@@ -37,6 +42,45 @@ struct ErrMgr {
 void error_exit(j_common_ptr cinfo) {
   ErrMgr* err = reinterpret_cast<ErrMgr*>(cinfo->err);
   longjmp(err->setjmp_buffer, 1);
+}
+
+// bilinear resize of a source REGION [sy, sy+rh) x [sx, sx+rw), RGB u8,
+// optional horizontal mirror of the output
+void bilinear_resize_region(const uint8_t* src, int sh, int sw, float sx,
+                            float sy, float rw, float rh, uint8_t* dst,
+                            int dh, int dw, int flip) {
+  const float ys = rh / dh;
+  const float xs = rw / dw;
+  std::vector<int> x0(dw), x1(dw);
+  std::vector<float> xw(dw);
+  for (int x = 0; x < dw; ++x) {
+    float fx = sx + (x + 0.5f) * xs - 0.5f;
+    fx = std::max(0.0f, std::min(fx, static_cast<float>(sw - 1)));
+    x0[x] = static_cast<int>(fx);
+    x1[x] = std::min(x0[x] + 1, sw - 1);
+    xw[x] = fx - x0[x];
+  }
+  for (int y = 0; y < dh; ++y) {
+    float fy = sy + (y + 0.5f) * ys - 0.5f;
+    fy = std::max(0.0f, std::min(fy, static_cast<float>(sh - 1)));
+    const int y0 = static_cast<int>(fy);
+    const int y1 = std::min(y0 + 1, sh - 1);
+    const float wy = fy - y0;
+    const uint8_t* r0 = src + static_cast<size_t>(y0) * sw * 3;
+    const uint8_t* r1 = src + static_cast<size_t>(y1) * sw * 3;
+    uint8_t* out = dst + static_cast<size_t>(y) * dw * 3;
+    for (int x = 0; x < dw; ++x) {
+      const int a = x0[x] * 3, b = x1[x] * 3;
+      const float wx = xw[x];
+      const int ox = flip ? (dw - 1 - x) : x;
+      for (int c = 0; c < 3; ++c) {
+        const float top = r0[a + c] + (r0[b + c] - r0[a + c]) * wx;
+        const float bot = r1[a + c] + (r1[b + c] - r1[a + c]) * wx;
+        out[ox * 3 + c] =
+            static_cast<uint8_t>(std::lround(top + (bot - top) * wy));
+      }
+    }
+  }
 }
 
 // separable bilinear resize, RGB u8
@@ -93,18 +137,11 @@ int resize_crop(const uint8_t* src, int sh, int sw, int target, uint8_t* out) {
   return 0;
 }
 
-}  // namespace
-
-extern "C" {
-
-int xtag_resize_crop_u8(const uint8_t* src, int h, int w, int target,
-                        uint8_t* out) {
-  return resize_crop(src, h, w, target, out);
-}
-
-// decode one JPEG to a target x target RGB center crop; returns 0 on success
-int xtag_decode_resize(const uint8_t* data, size_t len, int target,
-                       uint8_t* out) {
+// decode a JPEG into an RGB u8 buffer. `needed_short_side` drives the DCT
+// scale-on-decode choice: decode at the largest 1/N (N=1,2,4,8) whose
+// shortest side still exceeds ~1.15x the needed detail.
+int decode_jpeg(const uint8_t* data, size_t len, int needed_short_side,
+                std::vector<uint8_t>* buf, int* out_h, int* out_w) {
   jpeg_decompress_struct cinfo;
   ErrMgr jerr;
   cinfo.err = jpeg_std_error(&jerr.pub);
@@ -120,11 +157,11 @@ int xtag_decode_resize(const uint8_t* data, size_t len, int target,
     return 2;
   }
   cinfo.out_color_space = JCS_RGB;
-  // DCT scale-on-decode: largest 1/N (N=1,2,4,8) where the shortest side
-  // still covers the target
   const int shortest = std::min(cinfo.image_width, cinfo.image_height);
   int denom = 1;
-  while (denom < 8 && shortest / (denom * 2) >= static_cast<int>(1.15 * target))
+  while (denom < 8 &&
+         shortest / (denom * 2) >=
+             static_cast<int>(1.15 * needed_short_side))
     denom *= 2;
   cinfo.scale_num = 1;
   cinfo.scale_denom = denom;
@@ -132,12 +169,12 @@ int xtag_decode_resize(const uint8_t* data, size_t len, int target,
   jpeg_start_decompress(&cinfo);
   const int w = cinfo.output_width, h = cinfo.output_height;
   const int comps = cinfo.output_components;
-  std::vector<uint8_t> buf(static_cast<size_t>(h) * w * 3);
+  buf->resize(static_cast<size_t>(h) * w * 3);
   std::vector<uint8_t> row(static_cast<size_t>(w) * comps);
   JSAMPROW rowp = row.data();
   for (int y = 0; y < h; ++y) {
     jpeg_read_scanlines(&cinfo, &rowp, 1);
-    uint8_t* dst = buf.data() + static_cast<size_t>(y) * w * 3;
+    uint8_t* dst = buf->data() + static_cast<size_t>(y) * w * 3;
     if (comps == 3) {
       std::memcpy(dst, row.data(), static_cast<size_t>(w) * 3);
     } else {  // grayscale -> RGB
@@ -147,7 +184,77 @@ int xtag_decode_resize(const uint8_t* data, size_t len, int target,
   }
   jpeg_finish_decompress(&cinfo);
   jpeg_destroy_decompress(&cinfo);
+  *out_h = h;
+  *out_w = w;
+  return 0;
+}
+
+}  // namespace
+
+extern "C" {
+
+int xtag_resize_crop_u8(const uint8_t* src, int h, int w, int target,
+                        uint8_t* out) {
+  return resize_crop(src, h, w, target, out);
+}
+
+// decode one JPEG to a target x target RGB center crop; returns 0 on success
+int xtag_decode_resize(const uint8_t* data, size_t len, int target,
+                       uint8_t* out) {
+  std::vector<uint8_t> buf;
+  int h = 0, w = 0;
+  const int rc = decode_jpeg(data, len, target, &buf, &h, &w);
+  if (rc != 0) return rc;
   return resize_crop(buf.data(), h, w, target, out);
+}
+
+// decode + RandomResizedCrop: fractional crop box (fx, fy, fw, fh) in [0,1]
+// relative to the ORIGINAL image, bilinear resize to target x target,
+// optional horizontal flip. Host side of reference transform.py:334-355.
+int xtag_decode_rrc(const uint8_t* data, size_t len, int target, float fx,
+                    float fy, float fw, float fh, int flip, uint8_t* out) {
+  if (fw <= 0.0f || fh <= 0.0f || fx < 0.0f || fy < 0.0f ||
+      fx + fw > 1.0001f || fy + fh > 1.0001f)
+    return 3;
+  // needed detail: the crop (fh/fw of the image) must still carry >= target px
+  const float min_frac = std::min(fw, fh);
+  const int needed =
+      static_cast<int>(std::ceil(target / std::max(min_frac, 0.05f)));
+  std::vector<uint8_t> buf;
+  int h = 0, w = 0;
+  const int rc = decode_jpeg(data, len, needed, &buf, &h, &w);
+  if (rc != 0) return rc;
+  bilinear_resize_region(buf.data(), h, w, fx * w, fy * h, fw * w, fh * h,
+                         out, target, target, flip);
+  return 0;
+}
+
+// threaded batch RRC decode; boxes is [n, 4] (fx, fy, fw, fh), flips is [n].
+// returns the number of successful decodes; failures zero their slot.
+int xtag_decode_rrc_batch(const uint8_t** datas, const size_t* lens, int n,
+                          int target, const float* boxes,
+                          const uint8_t* flips, uint8_t* out, int n_threads) {
+  if (n_threads < 1) n_threads = 1;
+  std::atomic<int> next(0), ok(0);
+  const size_t stride = static_cast<size_t>(target) * target * 3;
+  auto worker = [&]() {
+    for (;;) {
+      const int i = next.fetch_add(1);
+      if (i >= n) return;
+      const float* b = boxes + static_cast<size_t>(i) * 4;
+      if (xtag_decode_rrc(datas[i], lens[i], target, b[0], b[1], b[2], b[3],
+                          flips ? flips[i] : 0, out + i * stride) == 0)
+        ok.fetch_add(1);
+      else
+        std::memset(out + i * stride, 0, stride);
+    }
+  };
+  std::vector<std::thread> threads;
+  const int nt = std::min(n_threads, n);
+  threads.reserve(nt);
+  for (int t = 0; t < nt; ++t) threads.emplace_back(worker);
+  for (auto& t : threads) t.join();
+  return ok.load();
 }
 
 // threaded batch decode; returns the number of successful decodes.

@@ -58,3 +58,58 @@ def test_resize_crop_raw():
     )
     assert rc == 0
     assert np.abs(out.astype(int) - 200).max() <= 1
+
+
+def test_decode_rrc_full_box_matches_resize():
+    """RRC with the full-image box == a plain squash resize (no crop)."""
+    from xtagclip_tpu.data.native import decode_rrc, native_available
+
+    if not native_available():
+        import pytest
+
+        pytest.skip("native lib unavailable")
+    data = _jpeg(h=128, w=128, seed=3)
+    full = decode_rrc(data, 64, (0.0, 0.0, 1.0, 1.0))
+    assert full is not None and full.shape == (64, 64, 3)
+    assert full.dtype == np.uint8
+    # a strict crop differs from the full image
+    crop = decode_rrc(data, 64, (0.25, 0.25, 0.5, 0.5))
+    assert np.abs(full.astype(int) - crop.astype(int)).mean() > 1.0
+    # horizontal flip mirrors columns
+    flipped = decode_rrc(data, 64, (0.0, 0.0, 1.0, 1.0), flip=True)
+    np.testing.assert_array_equal(flipped, full[:, ::-1])
+
+
+def test_decode_rrc_batch_and_pil_agree_roughly():
+    from xtagclip_tpu.data.native import (
+        _pil_decode_rrc,
+        decode_rrc_batch,
+        native_available,
+        sample_rrc_boxes,
+    )
+
+    rng = np.random.default_rng(0)
+    jpegs = [_jpeg(h=100, w=140, seed=i) for i in range(6)]
+    boxes = sample_rrc_boxes(rng, 6)
+    assert boxes.shape == (6, 4)
+    assert (boxes[:, 2] > 0).all() and (boxes[:, :2] >= 0).all()
+    assert (boxes[:, 0] + boxes[:, 2] <= 1.0001).all()
+    out = decode_rrc_batch(jpegs, 64, boxes)
+    assert out.shape == (6, 64, 64, 3)
+    assert out.any(axis=(1, 2, 3)).all()  # every slot decoded
+    if native_available():
+        pil = _pil_decode_rrc(jpegs[0], 64, boxes[0], False)
+        diff = np.abs(out[0].astype(float) - pil.astype(float)).mean()
+        assert diff < 16.0, diff  # bilinear + IFAST DCT vs PIL
+
+
+def test_rrc_box_scale_distribution():
+    from xtagclip_tpu.data.native import sample_rrc_boxes
+
+    rng = np.random.default_rng(1)
+    boxes = sample_rrc_boxes(rng, 500)
+    areas = boxes[:, 2] * boxes[:, 3]
+    # reference RandomResizedCrop(scale=(0.9, 1.0)) on unit area
+    assert areas.min() > 0.85 and areas.max() <= 1.0001
+    ratios = boxes[:, 2] / boxes[:, 3]
+    assert ratios.min() > 0.70 and ratios.max() < 1.40

@@ -133,9 +133,63 @@ def test_main_cli_webdataset_end_to_end(shards, tmp_path):
         "--batch-size", "4", "--epochs", "1", "--warmup", "1",
         "--precision", "fp32", "--lr", "1e-4",
         "--force-image-size", "16",
+        "--native-decode",
         "--logs", str(tmp_path / "logs"), "--name", "wds_e2e",
         "--log-every-n-steps", "1", "--val-frequency", "0",
         "--workers", "2",
     ])
     ckpts = tmp_path / "logs" / "wds_e2e" / "checkpoints"
     assert (ckpts / "epoch_1").is_dir()
+
+
+def _make_jpeg_shard(path, n):
+    with tarfile.open(path, "w") as tf:
+        for i in range(n):
+            img = Image.fromarray(
+                (np.random.default_rng(i).random((48, 64, 3)) * 255)
+                .astype("uint8"))
+            buf = io.BytesIO()
+            img.save(buf, "JPEG", quality=92)
+            data = buf.getvalue()
+            info = tarfile.TarInfo(f"j{i:04d}.jpg")
+            info.size = len(data)
+            tf.addfile(info, io.BytesIO(data))
+            cap = f"jpeg caption {i}".encode()
+            info = tarfile.TarInfo(f"j{i:04d}.txt")
+            info.size = len(cap)
+            tf.addfile(info, io.BytesIO(cap))
+
+
+def test_wds_loader_native_train_decode(tmp_path):
+    """--native-decode train path: native RandomResizedCrop decode with the
+    host-normalize bridge keeping the fp32 pipeline contract."""
+    from xtagclip_tpu.data.native import native_available
+    from xtagclip_tpu.data.transforms import PreprocessCfg, TrainTransform
+
+    if not native_available():
+        pytest.skip("native lib unavailable")
+    from xtagclip_tpu.tokenize.bpe import SimpleTokenizer
+
+    shard = str(tmp_path / "jpeg-0000.tar")
+    _make_jpeg_shard(shard, 12)
+    paths = [shard]
+    reader = WebDatasetReader(WdsConfig(shards=paths, seed=0))
+    cfg = PreprocessCfg(size=32)
+    loader = WdsLoader(
+        reader, TrainTransform(cfg), SimpleTokenizer(),
+        batch_size=4, num_batches=2,
+        shuffle_buffer=1, native_decode=True, native_target=32,
+        native_train=True,
+    )
+    batches = list(loader)
+    assert len(batches) == 2
+    imgs, txts = batches[0]
+    assert imgs.shape == (4, 32, 32, 3) and imgs.dtype == np.float32
+    assert txts.shape[0] == 4
+    # normalized floats, not raw uint8
+    assert imgs.min() < -0.5 and imgs.max() > 0.5
+
+    # per-epoch crops differ (random boxes re-seeded per epoch)
+    loader.set_epoch(1)
+    imgs2, _ = next(iter(loader))
+    assert not np.array_equal(imgs, imgs2)

@@ -49,6 +49,18 @@ def _load(build_if_missing: bool = True) -> Optional[ctypes.CDLL]:
         ctypes.c_void_p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
         ctypes.c_void_p,
     ]
+    lib.xtag_decode_rrc.restype = ctypes.c_int
+    lib.xtag_decode_rrc.argtypes = [
+        ctypes.c_char_p, ctypes.c_size_t, ctypes.c_int,
+        ctypes.c_float, ctypes.c_float, ctypes.c_float, ctypes.c_float,
+        ctypes.c_int, ctypes.c_void_p,
+    ]
+    lib.xtag_decode_rrc_batch.restype = ctypes.c_int
+    lib.xtag_decode_rrc_batch.argtypes = [
+        ctypes.POINTER(ctypes.c_char_p), ctypes.POINTER(ctypes.c_size_t),
+        ctypes.c_int, ctypes.c_int, ctypes.c_void_p, ctypes.c_void_p,
+        ctypes.c_void_p, ctypes.c_int,
+    ]
     return lib
 
 
@@ -91,6 +103,105 @@ def decode_batch(jpegs: List[bytes], target: int,
         ptrs, lens, n, target, out.ctypes.data_as(ctypes.c_void_p), n_threads
     )
     return out
+
+
+def sample_rrc_boxes(rng: np.random.Generator, n: int,
+                     scale=(0.9, 1.0), ratio=(3.0 / 4.0, 4.0 / 3.0),
+                     aspect_hw=None) -> np.ndarray:
+    """Fractional RandomResizedCrop boxes [n, 4] = (fx, fy, fw, fh)
+    (torchvision RandomResizedCrop.get_params semantics, the reference's
+    train transform at transform.py:334-355, scale=(0.9, 1.0)).
+
+    aspect_hw: optional [n, 2] (h, w) source sizes; crop aspect is computed in
+    PIXELS like torchvision when given, else in fractional units (square-ish
+    images only drift slightly)."""
+    boxes = np.empty((n, 4), np.float32)
+    log_ratio = np.log(np.asarray(ratio))
+    for i in range(n):
+        h, w = (aspect_hw[i] if aspect_hw is not None else (1.0, 1.0))
+        area = float(h) * float(w)
+        for _ in range(10):
+            target_area = area * rng.uniform(*scale)
+            ar = float(np.exp(rng.uniform(*log_ratio)))
+            cw = float(np.sqrt(target_area * ar))
+            ch = float(np.sqrt(target_area / ar))
+            if cw <= w and ch <= h:
+                fx = rng.uniform(0, (w - cw) / w) if w > cw else 0.0
+                fy = rng.uniform(0, (h - ch) / h) if h > ch else 0.0
+                boxes[i] = (fx, fy, cw / w, ch / h)
+                break
+        else:  # torchvision center-crop fallback
+            frac = min(float(np.sqrt(scale[0])), 1.0)
+            boxes[i] = ((1 - frac) / 2, (1 - frac) / 2, frac, frac)
+    return boxes
+
+
+def decode_rrc_batch(jpegs: List[bytes], target: int, boxes: np.ndarray,
+                     flips: Optional[np.ndarray] = None,
+                     n_threads: Optional[int] = None) -> np.ndarray:
+    """Train-time decode: JPEGs -> [N, target, target, 3] uint8 with
+    per-image RandomResizedCrop boxes (fractional) + optional hflips."""
+    n = len(jpegs)
+    out = np.zeros((n, target, target, 3), np.uint8)
+    boxes = np.ascontiguousarray(boxes, np.float32)
+    assert boxes.shape == (n, 4)
+    flips_arr = (np.ascontiguousarray(flips, np.uint8)
+                 if flips is not None else np.zeros(n, np.uint8))
+    lib = _load()
+    if lib is None:
+        for i, j in enumerate(jpegs):
+            d = _pil_decode_rrc(j, target, boxes[i], bool(flips_arr[i]))
+            if d is not None:
+                out[i] = d
+        return out
+    arr_t = ctypes.c_char_p * n
+    len_t = ctypes.c_size_t * n
+    ptrs = arr_t(*jpegs)
+    lens = len_t(*[len(j) for j in jpegs])
+    if n_threads is None:
+        n_threads = max(1, os.cpu_count() or 1)
+    lib.xtag_decode_rrc_batch(
+        ptrs, lens, n, target,
+        boxes.ctypes.data_as(ctypes.c_void_p),
+        flips_arr.ctypes.data_as(ctypes.c_void_p),
+        out.ctypes.data_as(ctypes.c_void_p), n_threads,
+    )
+    return out
+
+
+def decode_rrc(jpeg_bytes: bytes, target: int, box,
+               flip: bool = False) -> Optional[np.ndarray]:
+    """One JPEG -> RandomResizedCrop [target, target, 3] uint8."""
+    lib = _load()
+    if lib is None:
+        return _pil_decode_rrc(jpeg_bytes, target, box, flip)
+    out = np.empty((target, target, 3), np.uint8)
+    rc = lib.xtag_decode_rrc(
+        jpeg_bytes, len(jpeg_bytes), target,
+        float(box[0]), float(box[1]), float(box[2]), float(box[3]),
+        int(bool(flip)), out.ctypes.data_as(ctypes.c_void_p),
+    )
+    return out if rc == 0 else None
+
+
+def _pil_decode_rrc(jpeg_bytes: bytes, target: int, box,
+                    flip: bool) -> Optional[np.ndarray]:
+    import io
+
+    from PIL import Image
+
+    try:
+        img = Image.open(io.BytesIO(jpeg_bytes)).convert("RGB")
+        w, h = img.size
+        fx, fy, fw, fh = [float(v) for v in box]
+        img = img.crop((int(fx * w), int(fy * h),
+                        int((fx + fw) * w), int((fy + fh) * h)))
+        img = img.resize((target, target), Image.BILINEAR)
+        if flip:
+            img = img.transpose(Image.FLIP_LEFT_RIGHT)
+        return np.asarray(img, np.uint8)
+    except Exception:  # noqa: BLE001
+        return None
 
 
 def _pil_decode_resize(jpeg_bytes: bytes, target: int) -> Optional[np.ndarray]:

@@ -177,7 +177,7 @@ class WdsLoader:
     def __init__(self, reader: WebDatasetReader, transform, tokenizer,
                  batch_size: int, num_batches: int, shuffle_buffer: int = 1000,
                  seed: int = 0, native_decode: bool = False,
-                 native_target: int = 224):
+                 native_target: int = 224, native_train: bool = False):
         self.reader = reader
         self.transform = transform
         self.tokenizer = tokenizer
@@ -187,14 +187,26 @@ class WdsLoader:
         self.shuffle_buffer = shuffle_buffer
         self.seed = seed
         self._epoch = 0
-        # eval fast path: the native C++ decode/resize/crop pipeline
-        # (native/xtag_data.cpp) replaces PIL when available
+        # native C++ decode pipeline (native/xtag_data.cpp) replaces PIL when
+        # available: eval = resize+center-crop; train (native_train) =
+        # RandomResizedCrop(scale=(0.9,1.0)) sampled per image
         self.native_decode = native_decode
         self.native_target = native_target
+        self.native_train = native_train
+        self._post = None
         if native_decode:
             from xtagclip_tpu.data.native import native_available
 
             self.native_decode = native_available()
+        if self.native_decode and transform is not None and getattr(
+                transform, "normalize_host", False):
+            # keep the pipeline contract (normalized fp32) while the decode/
+            # resize/crop heavy lifting stays native: vectorized numpy
+            # normalization over the uint8 crop
+            from xtagclip_tpu.data.transforms import _normalize
+
+            cfg = transform.cfg
+            self._post = lambda a: _normalize(a, cfg.mean, cfg.std)
 
     def set_epoch(self, epoch: int):
         self._epoch = epoch
@@ -204,19 +216,33 @@ class WdsLoader:
         return self.num_batches
 
     def _decoded(self):
+        import numpy as _np
+
         from PIL import Image
 
         rng = random.Random(self.seed + self._epoch)
+        np_rng = _np.random.default_rng(self.seed + self._epoch)
         buf = []
         for _key, img_bytes, txt in self.reader:
             try:
-                if self.native_decode:
+                arr = None
+                if self.native_decode and self.native_train:
+                    from xtagclip_tpu.data.native import (
+                        decode_rrc,
+                        sample_rrc_boxes,
+                    )
+
+                    box = sample_rrc_boxes(np_rng, 1)[0]
+                    arr = decode_rrc(img_bytes, self.native_target, box)
+                elif self.native_decode:
                     from xtagclip_tpu.data.native import decode_resize
 
                     arr = decode_resize(img_bytes, self.native_target)
-                    if arr is None:
-                        continue
-                else:
+                if arr is not None and self._post is not None:
+                    arr = self._post(arr)
+                if arr is None:
+                    # non-JPEG member or native decode failure: PIL fallback
+                    # (webdatasets mix formats; never silently drop samples)
                     img = Image.open(io.BytesIO(img_bytes)).convert("RGB")
                     arr = self.transform(img)
             except OSError as e:
@@ -288,9 +314,15 @@ def get_wds_dataset(args, preprocess_fn, is_train, epoch=0, tokenizer=None):
         rank=rank if is_train else 0,
         world_size=world if is_train else 1,
     ))
+    native = bool(getattr(args, "native_decode", False))
+    native_target = 224
+    if native and getattr(preprocess_fn, "cfg", None) is not None:
+        native_target = preprocess_fn.cfg.size_hw[0]
     loader = WdsLoader(
         reader, preprocess_fn, tokenizer, args.batch_size, num_batches,
         shuffle_buffer=1000 if is_train else 1,
         seed=getattr(args, "seed", 0),
+        native_decode=native, native_target=native_target,
+        native_train=is_train,
     )
     return DataInfo(dataloader=loader)

@@ -133,6 +133,10 @@ def parse_args(args=None, include_xtag: bool = True):
     parser.add_argument("--torchscript", default=False, action="store_true")
     parser.add_argument("--torchcompile", default=False, action="store_true")
     parser.add_argument("--trace", default=False, action="store_true")
+    parser.add_argument(
+        "--native-decode", default=False, action="store_true",
+        help="use the native C++ JPEG decode pipeline for webdataset loading "
+             "(threaded libjpeg decode + RandomResizedCrop/center-crop)")
     # TPU-native profiling (SURVEY 5.1): capture a jax.profiler trace of a
     # short steady-state step window during epoch 0
     parser.add_argument("--profile", default=False, action="store_true",
