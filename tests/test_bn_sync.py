@@ -90,3 +90,59 @@ def test_factory_plumbs_use_bn_sync():
     assert bundle.module.visual.bn_axis_name == "data"
     bundle = create_model("RN50", skip_init=True)
     assert bundle.module.visual.bn_axis_name is None
+
+
+def test_lock_image_freeze_bn_stats():
+    """--lock-image-freeze-bn-stats: the image tower's BN running statistics
+    must not change across a train step (reference utils.py:11-49)."""
+    import json
+    import os
+    import tempfile
+
+    from xtagclip_tpu.factory import add_model_config, create_model
+    from xtagclip_tpu.train.loop import make_train_step
+    from xtagclip_tpu.train.scheduler import cosine_lr
+    from xtagclip_tpu.train.train_state import (
+        create_train_state,
+        make_optimizer,
+    )
+
+    cfg = dict(
+        embed_dim=32,
+        vision_cfg=dict(layers=[1, 1, 1, 1], width=16, image_size=32),
+        text_cfg=dict(context_length=16, vocab_size=100, width=32, heads=2,
+                      layers=1),
+    )
+    with tempfile.NamedTemporaryFile("w", suffix=".json", prefix="tinybn-",
+                                     delete=False) as f:
+        json.dump(cfg, f)
+        path = f.name
+    add_model_config(path)
+    bundle = create_model(os.path.basename(path)[:-5])
+    rng = np.random.default_rng(0)
+    batch = {
+        "images": rng.standard_normal((8, 32, 32, 3), dtype=np.float32),
+        "texts": rng.integers(1, 99, size=(8, 16)).astype(np.int32),
+    }
+    tx = make_optimizer(cosine_lr(1e-3, 2, 50), params=bundle.params)
+
+    def run(freeze):
+        state = create_train_state(bundle.params, tx,
+                                   extra_vars=bundle.extra_variables)
+        step = make_train_step(
+            bundle.module, tx,
+            {"lock_image_freeze_bn_stats": freeze}, donate=False)
+        state, _ = step(state, batch, jax.random.PRNGKey(0))
+        return state.extra_vars["batch_stats"]["visual"]
+
+    before = bundle.extra_variables["batch_stats"]["visual"]
+    frozen = run(True)
+    for a, b in zip(jax.tree_util.tree_leaves(before),
+                    jax.tree_util.tree_leaves(frozen)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    live = run(False)
+    changed = any(
+        not np.array_equal(np.asarray(a), np.asarray(b))
+        for a, b in zip(jax.tree_util.tree_leaves(before),
+                        jax.tree_util.tree_leaves(live)))
+    assert changed

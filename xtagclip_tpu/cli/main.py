@@ -174,7 +174,11 @@ def main(argv=None):
              **t_bundle.extra_variables},
         )
 
-    args_cfg = {"siglip": args.siglip, "use_tagging_loss": False}
+    args_cfg = {
+        "siglip": args.siglip, "use_tagging_loss": False,
+        "lock_image_freeze_bn_stats": bool(
+            args.lock_image and args.lock_image_freeze_bn_stats),
+    }
     if "coca" in args.model.lower():
         args_cfg.update(
             coca=True,

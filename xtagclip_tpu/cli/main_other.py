@@ -231,6 +231,8 @@ def main(argv=None):
         "use_tagging_loss": args.use_tagging,
         # driver-instantiated ASL uses defaults (main_other.py:553)
         "asl_gamma_neg": 4, "asl_gamma_pos": 1, "asl_clip": 0.05,
+        "lock_image_freeze_bn_stats": bool(
+            args.lock_image and args.lock_image_freeze_bn_stats),
     }
     if args.accum_freq > 1:
         step_fn = make_accum_train_step(

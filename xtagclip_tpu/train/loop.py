@@ -78,6 +78,15 @@ def _model_losses(module, params, batch, rngs, args_cfg, prompt_table,
     new_vars = {}
     if mutable:
         out, new_vars = out
+    if new_vars and args_cfg.get("lock_image_freeze_bn_stats"):
+        # --lock-image-freeze-bn-stats (reference utils.py:11-49
+        # freeze_batch_norm_2d): the locked image tower's BatchNorm running
+        # statistics must not drift during training
+        bs = dict(new_vars.get("batch_stats", {}))
+        old = (extra_vars or {}).get("batch_stats", {})
+        if "visual" in bs and "visual" in old:
+            bs["visual"] = old["visual"]
+            new_vars = {**new_vars, "batch_stats": bs}
     logit_scale = out["logit_scale"]
     if args_cfg.get("siglip"):
         contrastive = siglip_loss(
