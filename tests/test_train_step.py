@@ -184,3 +184,37 @@ def test_distill_step_descends(tiny_bundle):
     for a, b in zip(jax.tree_util.tree_leaves(teacher_before),
                     jax.tree_util.tree_leaves(teacher_bundle.params)):
         np.testing.assert_array_equal(a, np.asarray(b))
+
+
+def test_sgd_and_lion_optimizers(tiny_bundle):
+    """--opt selection (reference --opt/--momentum): sgd+momentum and lion
+    descend like adamw does."""
+    batch, table = _batch(np.random.default_rng(11))
+    batch.pop("additional")
+    for opt in ("sgd", "lion"):
+        sched = cosine_lr(1e-3, 2, 50)
+        tx = make_optimizer(sched, params=tiny_bundle.params, opt=opt,
+                            momentum=0.9, weight_decay=0.01)
+        state = create_train_state(tiny_bundle.params, tx)
+        step = make_train_step(tiny_bundle.module, tx, {},
+                               prompt_table=table, donate=False)
+        losses = []
+        for _ in range(8):
+            state, m = step(state, batch, jax.random.PRNGKey(0))
+            losses.append(float(m["loss"]))
+        assert np.all(np.isfinite(losses)), (opt, losses)
+        assert losses[-1] < losses[1], (opt, losses)
+
+    with pytest.raises(ValueError):
+        make_optimizer(cosine_lr(1e-3, 2, 50), opt="nope")
+
+
+def test_copy_codebase(tmp_path):
+    import types
+
+    from xtagclip_tpu.train.file_utils import copy_codebase
+
+    args = types.SimpleNamespace(logs=str(tmp_path), name="run1")
+    dst = copy_codebase(args)
+    assert os.path.isfile(os.path.join(dst, "factory.py"))
+    assert os.path.isfile(os.path.join(dst, "models", "clip.py"))

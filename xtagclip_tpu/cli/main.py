@@ -64,6 +64,10 @@ def main(argv=None):
     args.checkpoint_path = os.path.join(log_base_path, "checkpoints")
     if is_master(args):
         os.makedirs(args.checkpoint_path, exist_ok=True)
+    if getattr(args, "copy_codebase", False) and is_master(args):
+        from xtagclip_tpu.train.file_utils import copy_codebase
+
+        logging.info("copied codebase to %s", copy_codebase(args))
 
     tb_writer = None
     if "tensorboard" in (args.report_to or ""):
@@ -96,6 +100,7 @@ def main(argv=None):
         ),
         grad_checkpointing=args.grad_checkpointing,
         use_bn_sync=args.use_bn_sync,
+        cache_dir=getattr(args, "cache_dir", None),
         **({"vision_cfg": {"patch_dropout": args.force_patch_dropout}}
            if args.force_patch_dropout is not None else {}),
         image_mean=args.image_mean, image_std=args.image_std,
@@ -132,7 +137,8 @@ def main(argv=None):
     tx = make_optimizer(schedule, beta1=args.beta1, beta2=args.beta2,
                         eps=args.eps, weight_decay=args.wd,
                         grad_clip_norm=args.grad_clip_norm, params=params,
-                        train_mask=mask)
+                        train_mask=mask, opt=getattr(args, "opt", "adamw"),
+                        momentum=getattr(args, "momentum", 0.9))
     state = create_train_state(params, tx, extra_vars=bundle.extra_variables)
 
     start_epoch = 0

@@ -79,6 +79,11 @@ def main(argv=None):
             for name in sorted(vars(args)):
                 f.write(f"{name}: {getattr(args, name)}\n")
 
+    if getattr(args, "copy_codebase", False) and is_master(args):
+        from xtagclip_tpu.train.file_utils import copy_codebase
+
+        logging.info("copied codebase to %s", copy_codebase(args))
+
     # wandb/tensorboard hard-disabled as in the reference XTag mains
     # (main_other.py:184-185); the vanilla loop keeps them.
     args.wandb = False
@@ -117,6 +122,7 @@ def main(argv=None):
         prompt_template_setting=args.prompt_template_setting,
         grad_checkpointing=args.grad_checkpointing,
         use_bn_sync=args.use_bn_sync,
+        cache_dir=getattr(args, "cache_dir", None),
         image_mean=args.image_mean,
         image_std=args.image_std,
         image_interpolation=args.image_interpolation,
@@ -193,6 +199,8 @@ def main(argv=None):
         schedule, beta1=args.beta1, beta2=args.beta2, eps=args.eps,
         weight_decay=args.wd, grad_clip_norm=args.grad_clip_norm,
         params=params, train_mask=mask,
+        opt=getattr(args, "opt", "adamw"),
+        momentum=getattr(args, "momentum", 0.9),
     )
     state = create_train_state(params, tx, extra_vars=bundle.extra_variables)
 

@@ -99,6 +99,10 @@ def get_data(args, preprocess_fns, epoch: int = 0, tokenizer=None) -> dict:
     if getattr(args, "imagenet_val", None):
         ds = ImageFolderDataset(args.imagenet_val, transform=preprocess_val)
         data["imagenet-val"] = _loader(ds, args, is_train=False)
+    if getattr(args, "imagenet_v2", None):
+        # ImageNet-V2 folder (reference data.py:546-564 'imagenet-v2' key)
+        ds = ImageFolderDataset(args.imagenet_v2, transform=preprocess_val)
+        data["imagenet-v2"] = _loader(ds, args, is_train=False)
     return data
 
 

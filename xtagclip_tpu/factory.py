@@ -251,6 +251,7 @@ def create_model(
     grad_checkpointing: bool = False,
     scan_layers: bool = False,
     use_bn_sync: bool = False,
+    cache_dir: Optional[str] = None,
     init_seed: int = 0,
     skip_init: bool = False,
     **model_kwargs,
@@ -399,7 +400,7 @@ def create_model(
         if pretrained == "openai":
             from xtagclip_tpu.pretrained import resolve_pretrained
 
-            path = resolve_pretrained(model_name, pretrained)
+            path = resolve_pretrained(model_name, pretrained, cache_dir)
             from xtagclip_tpu.convert.openai import load_openai_state_dict
             from xtagclip_tpu.convert.loader import merge_converted_params
             from xtagclip_tpu.convert.openclip import convert_openclip_state_dict
@@ -412,7 +413,7 @@ def create_model(
             if not os.path.exists(pretrained):
                 from xtagclip_tpu.pretrained import resolve_pretrained
 
-                pretrained = resolve_pretrained(model_name, pretrained)
+                pretrained = resolve_pretrained(model_name, pretrained, cache_dir)
             load_checkpoint_into(bundle, pretrained)
 
     return bundle

@@ -103,3 +103,19 @@ def pt_load(file_path: str, map_location=None):
     import torch
 
     return torch.load(file_path, map_location=map_location, weights_only=False)
+
+
+def copy_codebase(args) -> str:
+    """Copy the package source into the run dir (reference main.py
+    copy_codebase: reproducibility snapshot under logs/<name>/code)."""
+    import shutil
+
+    import xtagclip_tpu
+
+    src = os.path.dirname(os.path.abspath(xtagclip_tpu.__file__))
+    dst = os.path.join(args.logs, args.name, "code", "xtagclip_tpu")
+    shutil.copytree(
+        src, dst, dirs_exist_ok=True,
+        ignore=shutil.ignore_patterns("__pycache__", "*.pyc"),
+    )
+    return dst

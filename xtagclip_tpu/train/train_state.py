@@ -131,12 +131,33 @@ def make_optimizer(
     grad_clip_norm: Optional[float] = None,
     params=None,
     train_mask=None,
+    opt: str = "adamw",
+    momentum: float = 0.9,
 ) -> optax.GradientTransformation:
-    tx = optax.adamw(
-        learning_rate=schedule, b1=beta1, b2=beta2, eps=eps,
-        weight_decay=weight_decay,
-        mask=decay_mask(params) if params is not None else None,
-    )
+    """--opt selection (reference params.py --opt/--momentum; the reference
+    additionally dispatches to arbitrary timm optimizers — here: adamw
+    (default), adam, sgd(+momentum), lion, adafactor)."""
+    name = (opt or "adamw").lower().replace("timm/", "")
+    wd_mask = decay_mask(params) if params is not None else None
+    if name == "adamw":
+        tx = optax.adamw(
+            learning_rate=schedule, b1=beta1, b2=beta2, eps=eps,
+            weight_decay=weight_decay, mask=wd_mask,
+        )
+    elif name == "adam":
+        tx = optax.adam(learning_rate=schedule, b1=beta1, b2=beta2, eps=eps)
+    elif name == "sgd":
+        tx = optax.chain(
+            optax.add_decayed_weights(weight_decay, mask=wd_mask),
+            optax.sgd(learning_rate=schedule, momentum=momentum),
+        )
+    elif name == "lion":
+        tx = optax.lion(learning_rate=schedule, b1=beta1, b2=beta2,
+                        weight_decay=weight_decay, mask=wd_mask)
+    elif name == "adafactor":
+        tx = optax.adafactor(learning_rate=schedule)
+    else:
+        raise ValueError(f"unknown optimizer {opt!r}")
     chain = []
     if grad_clip_norm is not None:
         chain.append(optax.clip_by_global_norm(grad_clip_norm))

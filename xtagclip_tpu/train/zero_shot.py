@@ -80,6 +80,8 @@ def build_zero_shot_classifier_legacy(
 
 
 def _pick_classnames_templates(data_key: str):
+    if "imagenet" in data_key.lower():
+        return metadata.IMAGENET_CLASSNAMES, metadata.OPENAI_IMAGENET_TEMPLATES
     if "scar" in data_key.lower():
         return metadata.SCAR_CLASSNAMES, metadata.SIMPLE_SCAR_TEMPLATES
     if "pathmnist" in data_key.lower():
@@ -310,7 +312,7 @@ def zero_shot_eval(module, params, data: dict, epoch: int, args, tokenizer,
     """Dispatch over eval splits (reference zero_shot_other.py:263-318)."""
     results = {}
     for key in ("scar_val", "PathMNIST_val", "MedicalMNIST", "imagenet-val",
-                "val"):
+                "imagenet-v2", "val"):
         if key not in data:
             continue
         classnames, templates = _pick_classnames_templates(key)
