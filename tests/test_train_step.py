@@ -117,7 +117,7 @@ def test_accum_step_runs(tiny_bundle, rng):
     tx = make_optimizer(sched, params=tiny_bundle.params)
     state = create_train_state(tiny_bundle.params, tx)
     step = make_accum_train_step(tiny_bundle.module, tx, {}, accum_freq=accum,
-                                 prompt_table=table)
+                                 prompt_table=table, donate=False)
     state, m = step(state, micro, jax.random.PRNGKey(0))
     assert np.isfinite(float(m["loss"]))
     assert int(state.step) == 1
@@ -191,12 +191,16 @@ def test_sgd_and_lion_optimizers(tiny_bundle):
     descend like adamw does."""
     batch, table = _batch(np.random.default_rng(11))
     batch.pop("additional")
+    # fresh params: the shared fixture's buffers may have been donated by an
+    # earlier in-module step
+    bundle = create_model(tiny_bundle.model_name, use_tagging=True,
+                          use_fusion=True)
     for opt in ("sgd", "lion"):
         sched = cosine_lr(1e-3, 2, 50)
-        tx = make_optimizer(sched, params=tiny_bundle.params, opt=opt,
+        tx = make_optimizer(sched, params=bundle.params, opt=opt,
                             momentum=0.9, weight_decay=0.01)
-        state = create_train_state(tiny_bundle.params, tx)
-        step = make_train_step(tiny_bundle.module, tx, {},
+        state = create_train_state(bundle.params, tx)
+        step = make_train_step(bundle.module, tx, {},
                                prompt_table=table, donate=False)
         losses = []
         for _ in range(8):

@@ -223,6 +223,7 @@ def make_accum_train_step(
     args_cfg: Dict[str, Any],
     accum_freq: int,
     prompt_table=None,
+    donate: bool = True,
 ):
     """Feature-cache-replay grad accumulation inside one jit.
 
@@ -304,4 +305,4 @@ def make_accum_train_step(
         new_state = apply_gradients(state, grads, tx)
         return new_state, metrics
 
-    return jax.jit(step, donate_argnums=(0,))
+    return jax.jit(step, donate_argnums=(0,) if donate else ())
