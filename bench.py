@@ -19,6 +19,7 @@ north star (BASELINE.json).
 from __future__ import annotations
 
 import json
+import os
 import time
 
 import numpy as np
@@ -26,10 +27,29 @@ import numpy as np
 
 def main():
     import jax
+
+    # persistent compilation cache: remote-compile times vary 2-6 min run to
+    # run; cached XLA binaries make repeat runs (and the driver's) fast
+    cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             ".jax_cache")
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+    except Exception:  # noqa: BLE001 — older jax without the knobs
+        pass
+
     import jax.numpy as jnp
 
     from xtagclip_tpu.factory import create_model
     from xtagclip_tpu.ops.preprocess import normalize_images
+
+    # never let an optional section push the whole bench past the driver's
+    # budget — the headline JSON must always print
+    t_start = time.perf_counter()
+    budget_s = float(os.environ.get("XTAG_BENCH_BUDGET_S", "420"))
+
+    def over_budget():
+        return time.perf_counter() - t_start > budget_s
 
     dev = jax.devices()[0]
     bundle = create_model("ViT-B-32", precision="bf16")
@@ -82,6 +102,9 @@ def main():
     train_samples_per_s = None
     try:
         import sys
+
+        if over_budget():
+            raise TimeoutError("bench time budget consumed by eval section")
 
         from xtagclip_tpu.train.loop import make_multi_step
         from xtagclip_tpu.train.scheduler import cosine_lr
@@ -162,16 +185,19 @@ def main():
         jax.device_put(b, dev).block_until_ready()
     h2d_mbps = len(bufs) * bufs[0].nbytes / (time.perf_counter() - t0) / 1e6
 
-    # p50 per-image classify latency (batch 1, full host sync per call)
-    one_fn = jax.jit(classify)
-    one = jax.device_put(bufs[0][:1], dev)
-    np.asarray(one_fn(params, one, class_w, jnp.bfloat16(0)))
-    lat = []
-    for i in range(50):
-        t = time.perf_counter()
-        np.asarray(one_fn(params, one, class_w, jnp.bfloat16(i * 1e-9)))
-        lat.append(time.perf_counter() - t)
-    p50_ms = float(np.median(lat) * 1e3)
+    # p50 per-image classify latency (batch 1, full host sync per call;
+    # tunnel-RTT-dominated on this box)
+    p50_ms = None
+    if not over_budget():
+        one_fn = jax.jit(classify)
+        one = jax.device_put(bufs[0][:1], dev)
+        np.asarray(one_fn(params, one, class_w, jnp.bfloat16(0)))
+        lat = []
+        for i in range(30):
+            t = time.perf_counter()
+            np.asarray(one_fn(params, one, class_w, jnp.bfloat16(i * 1e-9)))
+            lat.append(time.perf_counter() - t)
+        p50_ms = round(float(np.median(lat) * 1e3), 3)
 
     result = {
         "metric": "ViT-B images/sec/chip (preprocess+encode+sim)",
@@ -180,7 +206,7 @@ def main():
         "vs_baseline": round(imgs_per_sec / 5000.0, 3),
         "train_samples_per_sec_chip": train_samples_per_s,
         "decode_imgs_per_sec_host": decode_imgs_per_s,
-        "p50_classify_latency_ms": round(p50_ms, 3),
+        "p50_classify_latency_ms": p50_ms,
         "h2d_bandwidth_MBps": round(h2d_mbps, 0),
         "device": str(dev),
         "batch": batch,
