@@ -146,3 +146,20 @@ def test_lock_image_freeze_bn_stats():
         for a, b in zip(jax.tree_util.tree_leaves(before),
                         jax.tree_util.tree_leaves(live)))
     assert changed
+
+    # The frozen tower must also NORMALIZE with the running statistics during
+    # a train-mode forward (reference FrozenBatchNorm2d, utils.py:11-49), not
+    # merely discard the stat update: a train-mode forward with
+    # visual_deterministic=True must equal the eval-mode forward.
+    variables = {"params": bundle.params, **bundle.extra_variables}
+    frozen_out = bundle.module.apply(
+        variables, batch["images"], text=batch["texts"],
+        deterministic=False, visual_deterministic=True,
+        rngs={"dropout": jax.random.PRNGKey(0)}, mutable=["batch_stats"],
+    )[0]
+    eval_out = bundle.module.apply(
+        variables, batch["images"], text=batch["texts"], deterministic=True,
+    )
+    np.testing.assert_allclose(
+        np.asarray(frozen_out["image_features"]),
+        np.asarray(eval_out["image_features"]), atol=1e-6)

@@ -137,8 +137,7 @@ def main(argv=None):
     tx = make_optimizer(schedule, beta1=args.beta1, beta2=args.beta2,
                         eps=args.eps, weight_decay=args.wd,
                         grad_clip_norm=args.grad_clip_norm, params=params,
-                        train_mask=mask, opt=getattr(args, "opt", "adamw"),
-                        momentum=getattr(args, "momentum", 0.9))
+                        train_mask=mask, opt=args.opt, momentum=args.momentum)
     state = create_train_state(params, tx, extra_vars=bundle.extra_variables)
 
     start_epoch = 0
@@ -201,7 +200,7 @@ def main(argv=None):
                                         args.accum_freq)
     else:
         step_fn = make_train_step(bundle.module, tx, args_cfg, donate=False,
-                                  teacher=teacher)
+                                  teacher=teacher, mesh=mesh)
 
     ckpt_mgr = CheckpointManager(
         args.checkpoint_path, save_frequency=args.save_frequency,

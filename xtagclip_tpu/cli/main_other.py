@@ -199,8 +199,7 @@ def main(argv=None):
         schedule, beta1=args.beta1, beta2=args.beta2, eps=args.eps,
         weight_decay=args.wd, grad_clip_norm=args.grad_clip_norm,
         params=params, train_mask=mask,
-        opt=getattr(args, "opt", "adamw"),
-        momentum=getattr(args, "momentum", 0.9),
+        opt=args.opt, momentum=args.momentum,
     )
     state = create_train_state(params, tx, extra_vars=bundle.extra_variables)
 
@@ -250,7 +249,7 @@ def main(argv=None):
     else:
         step_fn = make_train_step(
             bundle.module, tx, args_cfg, prompt_table=prompt_table,
-            donate=False,
+            donate=False, mesh=mesh,
         )
 
     ckpt_mgr = CheckpointManager(

@@ -189,7 +189,7 @@ class WdsLoader:
         self._epoch = 0
         # native C++ decode pipeline (native/xtag_data.cpp) replaces PIL when
         # available: eval = resize+center-crop; train (native_train) =
-        # RandomResizedCrop(scale=(0.9,1.0)) sampled per image
+        # RandomResizedCrop with scale/ratio from the AugmentationCfg
         self.native_decode = native_decode
         self.native_target = native_target
         self.native_train = native_train
@@ -198,6 +198,29 @@ class WdsLoader:
             from xtagclip_tpu.data.native import native_available
 
             self.native_decode = native_available()
+        # The native train path implements RandomResizedCrop only; honor the
+        # TrainTransform's AugmentationCfg rather than silently ignoring it:
+        # scale/ratio are routed into the native box sampler, and pixel-level
+        # augmentations (color jitter / grayscale) force the PIL path, which
+        # implements them (reference transform.py:334-355 chain).
+        self.native_rrc_scale = (0.9, 1.0)
+        self.native_rrc_ratio = (3.0 / 4.0, 4.0 / 3.0)
+        if self.native_decode and native_train and transform is not None:
+            aug = getattr(transform, "aug", None)
+            if aug is not None:
+                if (aug.color_jitter is not None or aug.color_jitter_prob
+                        or aug.gray_scale_prob):
+                    import warnings
+
+                    warnings.warn(
+                        "--native-decode: color_jitter/gray_scale augmentations "
+                        "have no native implementation; using the PIL transform "
+                        "for training samples")
+                    self.native_decode = False
+                else:
+                    self.native_rrc_scale = tuple(aug.scale)
+                    if aug.ratio is not None:
+                        self.native_rrc_ratio = tuple(aug.ratio)
         if self.native_decode and transform is not None and getattr(
                 transform, "normalize_host", False):
             # keep the pipeline contract (normalized fp32) while the decode/
@@ -232,7 +255,9 @@ class WdsLoader:
                         sample_rrc_boxes,
                     )
 
-                    box = sample_rrc_boxes(np_rng, 1)[0]
+                    box = sample_rrc_boxes(
+                        np_rng, 1, scale=self.native_rrc_scale,
+                        ratio=self.native_rrc_ratio)[0]
                     arr = decode_rrc(img_bytes, self.native_target, box)
                 elif self.native_decode:
                     from xtagclip_tpu.data.native import decode_resize

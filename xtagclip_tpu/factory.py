@@ -263,14 +263,24 @@ def create_model(
     open_clip layout (no-egress environment: hub/url tags resolve only if the
     file is already cached locally).
     """
+    hub_id = None
     if model_name.startswith("hf-hub:"):
         # hub id -> local config name (reference factory.py:294-301; in this
         # no-egress environment the hub repo's config must ship in assets,
         # as BiomedCLIP's does)
-        model_name = model_name[len("hf-hub:"):].split("/")[-1]
+        hub_id = model_name[len("hf-hub:"):]
+        model_name = hub_id.split("/")[-1]
     model_name = model_name.replace("/", "-")
     cfg = get_model_config(model_name)
     if cfg is None:
+        if hub_id is not None:
+            raise RuntimeError(
+                f"hf-hub model {hub_id!r} has no local config asset "
+                f"(looked for {model_name!r} in the registry). This "
+                f"environment has no network egress: ship the hub repo's "
+                f"open_clip_config.json as assets/model_configs/"
+                f"{model_name}.json or register it via add_model_config()."
+            )
         raise RuntimeError(f"Model config for {model_name} not found; "
                            f"available: {len(list_models())} configs")
 

@@ -232,9 +232,15 @@ class CLIP(nn.Module):
         class_ids=None,       # [B] int32 into prompt_table's class axis
         template_id=0,        # scalar int (host picks; 'total' = random choice)
         deterministic: bool = True,
+        visual_deterministic: Optional[bool] = None,
     ):
+        # visual_deterministic=True runs the image tower in eval mode during a
+        # train-mode forward: BatchNorm normalizes with (and does not update)
+        # running statistics — the reference's FrozenBatchNorm2d semantics
+        # under --lock-image-freeze-bn-stats (reference utils.py:11-49).
+        vd = deterministic if visual_deterministic is None else visual_deterministic
         image_features, image_tokens = self.encode_image(
-            image, normalize=True, deterministic=deterministic
+            image, normalize=True, deterministic=vd
         )
         tag_logits = self.tag_forward(image_tokens, deterministic=deterministic)
         tag_local, tag_global = self.prepare_tag_indices(tag_logits)

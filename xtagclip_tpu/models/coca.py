@@ -285,6 +285,7 @@ def _beam_search(step, image_embs, b, ctx, num_beams, num_beam_groups,
     # finished hypotheses per (sample, group): list of (norm_score, seq[ctx])
     hyps = [[[] for _ in range(num_beam_groups)] for _ in range(b)]
     done = np.zeros((b, num_beam_groups), bool)
+    pos = 0  # stays 0 when ctx == 1 (no decode positions); finalize handles it
 
     def group_done(i, g, best_running, cur_len):
         # early_stopping=False: done when no running beam can still beat the
@@ -334,7 +335,9 @@ def _beam_search(step, image_embs, b, ctx, num_beams, num_beam_groups,
                         if rank < gsz:
                             seq = tok3[i, s + beam].copy()
                             seq[pos] = eos
-                            hyps[i][g].append((sc / pos, seq))
+                            # HF BeamHypotheses normalizes by the FULL
+                            # sequence length incl. the SOT token = pos + 1
+                            hyps[i][g].append((sc / (pos + 1), seq))
                             if len(hyps[i][g]) > gsz:  # prune worst
                                 hyps[i][g].remove(min(hyps[i][g],
                                                       key=lambda h: h[0]))
@@ -348,7 +351,7 @@ def _beam_search(step, image_embs, b, ctx, num_beams, num_beam_groups,
                 new_tok3[i, s:e] = new_rows
                 scores[i, s:e] = new_sc
                 current_tokens[i, s:e] = new_rows[:, pos]
-                if group_done(i, g, float(new_sc.max()), pos):
+                if group_done(i, g, float(new_sc.max()), pos + 1):
                     done[i, g] = True
 
         tokens = new_tok3.reshape(b * num_beams, ctx)
@@ -366,7 +369,7 @@ def _beam_search(step, image_embs, b, ctx, num_beams, num_beam_groups,
                 for k in range(gsz):
                     if scores[i, s + k] > -1e8:
                         hyps[i][g].append(
-                            (float(scores[i, s + k]) / max(pos, 1),
+                            (float(scores[i, s + k]) / (pos + 1),
                              tok3[i, s + k].copy())
                         )
         best = max((h for g in range(num_beam_groups) for h in hyps[i][g]),

@@ -29,7 +29,7 @@ from xtagclip_tpu.train.train_state import TrainState, apply_gradients
 
 
 def _model_losses(module, params, batch, rngs, args_cfg, prompt_table,
-                  extra_vars=None, teacher=None):
+                  extra_vars=None, teacher=None, mesh=None):
     """Forward + the XTag loss combination. Returns (total, (metrics, vars)).
 
     `teacher` = (teacher_module, teacher_variables) enables distillation
@@ -64,6 +64,11 @@ def _model_losses(module, params, batch, rngs, args_cfg, prompt_table,
         }
         return contrastive + caption, (metrics, {})
 
+    # --lock-image-freeze-bn-stats (reference utils.py:11-49,
+    # freeze_batch_norm_2d): the locked image tower must both keep its BN
+    # running statistics AND normalize with them (not per-batch stats), so the
+    # tower runs in eval mode inside the train-mode forward.
+    freeze_visual = bool(args_cfg.get("lock_image_freeze_bn_stats"))
     out = module.apply(
         variables,
         batch["images"],
@@ -72,27 +77,51 @@ def _model_losses(module, params, batch, rngs, args_cfg, prompt_table,
         class_ids=batch.get("class_ids"),
         template_id=batch.get("template_id", 0),
         deterministic=False,
+        visual_deterministic=True if freeze_visual else None,
         rngs=rngs,
         mutable=mutable,
     )
     new_vars = {}
     if mutable:
         out, new_vars = out
-    if new_vars and args_cfg.get("lock_image_freeze_bn_stats"):
-        # --lock-image-freeze-bn-stats (reference utils.py:11-49
-        # freeze_batch_norm_2d): the locked image tower's BatchNorm running
-        # statistics must not drift during training
-        bs = dict(new_vars.get("batch_stats", {}))
-        old = (extra_vars or {}).get("batch_stats", {})
-        if "visual" in bs and "visual" in old:
-            bs["visual"] = old["visual"]
-            new_vars = {**new_vars, "batch_stats": bs}
     logit_scale = out["logit_scale"]
     if args_cfg.get("siglip"):
-        contrastive = siglip_loss(
-            out["image_features"], out["text_features"], logit_scale,
-            out.get("logit_bias"),
+        data_shards = (
+            mesh.shape.get("data", 1) if mesh is not None
+            and "data" in mesh.axis_names else 1
         )
+        if data_shards > 1:
+            # the canonical ICI ring, INSIDE the executed step: shard_map
+            # binds the data axis so siglip_loss's ppermute ring runs as a
+            # true collective-permute over the mesh (reference loss.py:226-311
+            # neighbour exchange); pmean of per-shard losses equals the
+            # global-matrix loss (each shard's ring covers its row block).
+            from jax.sharding import PartitionSpec as P
+
+            try:
+                from jax import shard_map  # jax >= 0.8
+            except ImportError:  # pragma: no cover - older jax
+                from jax.experimental.shard_map import shard_map
+
+            def _ring(imgf, txtf, scale, bias):
+                l = siglip_loss(imgf, txtf, scale, bias, axis_name="data",
+                                dist_impl=args_cfg.get("siglip_dist_impl",
+                                                       "shift"))
+                return jax.lax.pmean(l, "data")
+
+            bias = out.get("logit_bias")
+            if bias is None:
+                bias = jnp.zeros((), jnp.float32)
+            contrastive = shard_map(
+                _ring, mesh=mesh,
+                in_specs=(P("data"), P("data"), P(), P()),
+                out_specs=P(),
+            )(out["image_features"], out["text_features"], logit_scale, bias)
+        else:
+            contrastive = siglip_loss(
+                out["image_features"], out["text_features"], logit_scale,
+                out.get("logit_bias"),
+            )
     else:
         contrastive = clip_loss(
             out["image_features"], out["text_features"], logit_scale,
@@ -147,6 +176,7 @@ def make_train_step(
     prompt_table=None,
     donate: bool = True,
     teacher=None,
+    mesh=None,
 ):
     """Build the jitted single-step update: (state, batch, rng) -> (state, metrics)."""
 
@@ -156,7 +186,7 @@ def make_train_step(
         def loss_fn(params):
             return _model_losses(
                 module, params, batch, rngs, args_cfg, prompt_table,
-                extra_vars=state.extra_vars, teacher=teacher,
+                extra_vars=state.extra_vars, teacher=teacher, mesh=mesh,
             )
 
         (_, (metrics, new_vars)), grads = jax.value_and_grad(
@@ -179,6 +209,7 @@ def make_multi_step(
     prompt_table=None,
     teacher=None,
     donate: bool = True,
+    mesh=None,
 ):
     """K optimizer steps inside ONE jit via lax.scan over stacked batches
     [K, B, ...]. Amortizes per-dispatch overhead (critical on remote/tunneled
@@ -192,6 +223,7 @@ def make_multi_step(
             return _model_losses(
                 module, params, batch, {"dropout": rng}, args_cfg,
                 prompt_table, extra_vars=state.extra_vars, teacher=teacher,
+                mesh=mesh,
             )
 
         (_, (metrics, new_vars)), grads = jax.value_and_grad(

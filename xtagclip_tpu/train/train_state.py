@@ -14,6 +14,7 @@ Reference semantics:
 from __future__ import annotations
 
 import math
+import re
 from dataclasses import dataclass, replace as dc_replace
 from typing import Any, Callable, Optional
 
@@ -61,6 +62,82 @@ def _vit_group_of(path_str: str, num_blocks: int) -> int:
     return 0  # conv1, class_embedding, positional_embedding, ln_pre
 
 
+# ---------------------------------------------------------------------------
+# generalized block discovery for timm-family trunks (reference
+# timm_model.py:87-118 uses timm's group_matcher; here the same scheme is
+# derived from the param tree itself): block-module names sort into depth
+# order, stage downsamples/merges/pos-embeds group with their stage's first
+# block, final norms join the last block, head/proj is the final group.
+# ---------------------------------------------------------------------------
+
+_BLOCK_NAME = re.compile(
+    r"(?:resblocks|blocks)_(\d+)$"          # ViT / EVA / ViTamin transformer
+    r"|stage(\d+)_block(\d+)$"              # swin / fastvit / convnext
+    r"|stage(\d+)_(\d+)$"                   # vitamin MBConv stages
+)
+_BLOCK_PRELUDE = re.compile(
+    r"(?:downsample|merge)(\d+)(?:_.*)?$"   # fastvit/convnext/swin downsample
+    r"|stage(\d+)_(?:downsample|pos_emb).*$"
+)
+_TRUNK_FINAL = ("norm", "ln_post", "final_conv")
+_HEAD_NAMES = ("head_proj", "head_mlp_fc1", "head_mlp_fc2", "head_norm",
+               "fc_norm", "proj")
+
+
+def _block_sort_key(name: str):
+    """Depth-sortable key for a block-ish trunk child, or None."""
+    m = _BLOCK_NAME.fullmatch(name)
+    if m:
+        if m.group(1) is not None:          # (res)blocks_{i}: after conv stages
+            return (100, int(m.group(1)), 1)
+        if m.group(2) is not None:          # stage{s}_block{b}
+            return (int(m.group(2)), int(m.group(3)), 1)
+        return (int(m.group(4)), int(m.group(5)), 1)  # vitamin stage{s}_{b}
+    m = _BLOCK_PRELUDE.fullmatch(name)
+    if m:
+        s = int(next(g for g in m.groups() if g is not None))
+        return (s, -1, 0)                   # groups with the stage's 1st block
+    return None
+
+
+def _trunk_groups(trunk_params: dict):
+    """name -> group ordinal for a trunk param tree; returns (map, B)."""
+    keyed = [(k, _block_sort_key(k)) for k in trunk_params]
+    blocks = sorted((key, name) for name, key in keyed if key is not None)
+    # preludes (key[2] == 0) share the ordinal of the next real block
+    mapping, ordinal = {}, -1
+    for key, name in blocks:
+        if key[2] == 1:
+            ordinal += 1
+            mapping[name] = ordinal
+        else:
+            mapping[name] = ordinal + 1
+    nb = ordinal + 1
+    for name in mapping:  # clamp trailing preludes
+        mapping[name] = min(mapping[name], max(nb - 1, 0))
+    return mapping, nb
+
+
+def _timm_visual_group_of(path_str: str, visual_params: dict) -> tuple:
+    """(group, total_groups) for a TimmModel-style visual tower path."""
+    trunk = visual_params.get("trunk", {})
+    mapping, nb = _trunk_groups(trunk)
+    total = nb + 2
+    parts = path_str.split("/")
+    if parts[0] == "trunk" and len(parts) > 1:
+        child = parts[1]
+        if child in mapping:
+            g = mapping[child]
+            # last block and the final norm form one group, like ln_post
+            return (min(g, nb - 1) + 1 if g < nb - 1 else nb, total)
+        if child in _TRUNK_FINAL:
+            return (nb, total)
+        return (0, total)  # patch_embed / cls_token / pos_embed / stem
+    if parts[0] in _HEAD_NAMES:
+        return (nb + 1, total)
+    return (0, total)
+
+
 def _text_group_of(path_str: str, num_blocks: int) -> int:
     """Groups (transformer.py:976-988): 0 = embeddings, 1..B-1 = blocks[:-1],
     B = last block + ln_final (+ text_projection stays locked)."""
@@ -94,13 +171,22 @@ def trainable_mask(
     nv = num_vision_blocks or count_blocks("visual")
     nt = num_text_blocks or count_blocks("text")
 
+    visual_params = params.get("visual", {})
+    timm_style = nv == 0 and "trunk" in visual_params
+
     def rule(path, leaf):
         p = _path_str(path)
         if lock_image and p.startswith("visual/"):
             if lock_image_unlocked_groups == 0:
                 return False
-            total_groups = nv + 2
-            g = _vit_group_of(p[len("visual/"):], nv)
+            rest = p[len("visual/"):]
+            if timm_style:
+                # timm-family tower (trunk + head): groups derived from the
+                # param tree (reference timm_model.py:87-118 group matcher)
+                g, total_groups = _timm_visual_group_of(rest, visual_params)
+            else:
+                total_groups = nv + 2
+                g = _vit_group_of(rest, nv)
             return g >= total_groups - lock_image_unlocked_groups
         if lock_text and p.startswith("text/"):
             if not lock_text_freeze_layer_norm and (
@@ -132,7 +218,7 @@ def make_optimizer(
     params=None,
     train_mask=None,
     opt: str = "adamw",
-    momentum: float = 0.9,
+    momentum: Optional[float] = None,
 ) -> optax.GradientTransformation:
     """--opt selection (reference params.py --opt/--momentum; the reference
     additionally dispatches to arbitrary timm optimizers — here: adamw
@@ -147,9 +233,12 @@ def make_optimizer(
     elif name == "adam":
         tx = optax.adam(learning_rate=schedule, b1=beta1, b2=beta2, eps=eps)
     elif name == "sgd":
+        # --momentum default is None at the flag level; the reference's timm
+        # dispatch gives SGD momentum 0.9 when unspecified — match that.
         tx = optax.chain(
             optax.add_decayed_weights(weight_decay, mask=wd_mask),
-            optax.sgd(learning_rate=schedule, momentum=momentum),
+            optax.sgd(learning_rate=schedule,
+                      momentum=0.9 if momentum is None else momentum),
         )
     elif name == "lion":
         tx = optax.lion(learning_rate=schedule, b1=beta1, b2=beta2,
