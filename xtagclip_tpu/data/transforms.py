@@ -77,15 +77,29 @@ def _normalize(arr: np.ndarray, mean, std) -> np.ndarray:
 def _resize_shortest(img: Image.Image, target_hw, resample) -> Image.Image:
     th, tw = target_hw
     w, h = img.size
-    scale = max(th / h, tw / w)
-    return img.resize((round(w * scale), round(h * scale)), resample)
+    if th == tw:
+        # torchvision Resize(int): shortest edge -> target, long edge
+        # TRUNCATED: int(target * long / short) (tv _compute_resized_output_size)
+        short, long = (w, h) if w <= h else (h, w)
+        if short == th:
+            return img
+        new_short, new_long = th, int(th * long / short)
+        nw, nh = (new_short, new_long) if w <= h else (new_long, new_short)
+    else:
+        # non-square target: reference uses ResizeKeepRatio (longest=0):
+        # ratio = min(h/th, w/tw); size = round(dim / ratio)
+        ratio = min(h / th, w / tw)
+        nh, nw = round(h / ratio), round(w / ratio)
+    return img.resize((nw, nh), resample)
 
 
 def _resize_longest(img, target_hw, resample):
+    # reference ResizeKeepRatio(longest=1) (transform.py:126-143):
+    # ratio = max(h/th, w/tw); size = [round(h/ratio), round(w/ratio)]
     th, tw = target_hw
     w, h = img.size
-    scale = min(th / h, tw / w)
-    return img.resize((round(w * scale), round(h * scale)), resample)
+    ratio = max(h / th, w / tw)
+    return img.resize((round(w / ratio), round(h / ratio)), resample)
 
 
 def _center_crop_or_pad(img: Image.Image, target_hw, fill=0) -> Image.Image:
@@ -99,8 +113,10 @@ def _center_crop_or_pad(img: Image.Image, target_hw, fill=0) -> Image.Image:
             fill=fill,
         )
         w, h = img.size
-    left = (w - tw) // 2
-    top = (h - th) // 2
+    # torchvision center_crop: int(round(diff / 2)) — NOT floor; banker's
+    # rounding at .5 (e.g. diff 3 -> offset 2, where floor gives 1)
+    left = int(round((w - tw) / 2.0))
+    top = int(round((h - th) / 2.0))
     return img.crop((left, top, left + tw, top + th))
 
 
