@@ -109,9 +109,19 @@ def load_checkpoint_into(bundle, path: str, strict: bool = False,
     else:
         sd = load_torch_state_dict(path)
         converted = convert_openclip_state_dict(sd)
+    bn_stats = (converted.pop("__batch_stats__", None)
+                if isinstance(converted, dict) else None)
     bundle.params = merge_converted_params(
         bundle.params, converted, strict=strict, key_filter=key_filter
     )
+    if bn_stats and key_filter is None:
+        # BatchNorm running statistics carried by the checkpoint (FastViT
+        # attention-stage norms etc.) overlay the init batch_stats collection
+        existing = dict(bundle.extra_variables or {})
+        existing["batch_stats"] = merge_converted_params(
+            existing.get("batch_stats", {}), bn_stats, strict=False
+        )
+        bundle.extra_variables = existing
     return bundle
 
 

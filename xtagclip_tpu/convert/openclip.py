@@ -117,13 +117,21 @@ def convert_openclip_state_dict(
     sd = normalize_to_custom_text(sd)
     tree: Dict[str, Any] = {}
 
-    # timm trunk / HF bert groups are converted wholesale up front
+    # timm trunk / HF bert groups are converted wholesale up front.
+    # Family dispatch (vit / eva / swin / vitamin / fastvit-reparam) sniffs
+    # the key signature; unknown layouts raise instead of silently mismapping
+    # (reference timm_model.py:29-172 loads these through timm itself).
     if any(k.startswith("visual.trunk.") for k in sd):
-        from xtagclip_tpu.convert.timm_convert import convert_timm_vit_state_dict
+        from xtagclip_tpu.convert.timm_families import convert_timm_trunk
 
-        tree.setdefault("visual", {})["trunk"] = convert_timm_vit_state_dict(
-            sd, prefix="visual.trunk."
-        )
+        trunk_tree = convert_timm_trunk(sd, prefix="visual.trunk.")
+        bn_stats = trunk_tree.pop("__batch_stats__", None)
+        fc_norm = trunk_tree.pop("__fc_norm__", None)
+        tree.setdefault("visual", {})["trunk"] = trunk_tree
+        if fc_norm:  # timm fc_norm lives on our TimmModel head
+            tree["visual"]["fc_norm"] = fc_norm
+        if bn_stats:
+            tree["__batch_stats__"] = {"visual": {"trunk": bn_stats}}
         sd = {k: v for k, v in sd.items() if not k.startswith("visual.trunk.")}
     if any(k.startswith("text.transformer.embeddings.") for k in sd):
         from xtagclip_tpu.convert.hf_bert import convert_hf_bert_state_dict

@@ -10,6 +10,7 @@ import numpy as np
 
 def convert_timm_vit_state_dict(sd: Dict[str, np.ndarray], prefix: str = "") -> dict:
     tree: dict = {}
+    leftovers = []
 
     def put(path, key, v):
         node = tree
@@ -34,9 +35,15 @@ def convert_timm_vit_state_dict(sd: Dict[str, np.ndarray], prefix: str = "") -> 
             put(("patch_embed",), "bias", v)
         elif rest.startswith("norm."):
             put(("norm",), {"weight": "scale", "bias": "bias"}[rest.split(".")[1]], v)
+        elif rest.startswith("fc_norm."):
+            # timm stores fc_norm in the trunk sd; our LayerNorm lives on the
+            # TimmModel head — hoisted out of the trunk tree by the caller
+            put(("__fc_norm__",),
+                {"weight": "scale", "bias": "bias"}[rest.split(".")[1]], v)
         else:
             m = block_re.match(k)
             if not m:
+                leftovers.append(rest)
                 continue
             i, lrest = int(m.group(1)), m.group(2)
             base = f"blocks_{i}"
@@ -56,4 +63,14 @@ def convert_timm_vit_state_dict(sd: Dict[str, np.ndarray], prefix: str = "") -> 
                 put((base, parts[1]),
                     "kernel" if parts[2] == "weight" else "bias",
                     np.ascontiguousarray(v.T) if parts[2] == "weight" else v)
+            else:
+                leftovers.append(rest)
+    if leftovers:
+        from xtagclip_tpu.convert.timm_families import UnmappedKeysError
+
+        raise UnmappedKeysError(
+            f"timm ViT converter: {len(leftovers)} unmapped trunk keys "
+            f"(conv-stem / relpos / gap variants need their own map): "
+            f"{sorted(leftovers)[:10]}"
+        )
     return tree

@@ -86,7 +86,7 @@ class RepMixerBlock(nn.Module):
 
 class AttnBlock(nn.Module):
     channels: int
-    num_heads: int = 8
+    head_dim: int = 32  # timm fastvit Attention: fixed head dim 32
     dtype: Dtype = jnp.float32
     param_dtype: Dtype = jnp.float32
 
@@ -101,7 +101,8 @@ class AttnBlock(nn.Module):
                                          param_dtype=self.param_dtype)
         qkv = dense(3 * c, "qkv")(y)
         q, k, v = jnp.split(qkv, 3, axis=-1)
-        y = dense(c, "proj")(fused_attention(q, k, v, self.num_heads))
+        y = dense(c, "proj")(
+            fused_attention(q, k, v, max(1, c // self.head_dim)))
         x = x + y.reshape(b, h, w, c)
         return x + ConvFFN(channels=c, dtype=self.dtype,
                            param_dtype=self.param_dtype,
@@ -153,7 +154,14 @@ class FastVitTrunk(nn.Module):
                 x = Downsample(channels=dim, dtype=self.dtype,
                                param_dtype=self.param_dtype,
                                name=f"downsample{si}")(x, deterministic)
-            block = AttnBlock if si == len(self.dims) - 1 else RepMixerBlock
+            is_attn = si == len(self.dims) - 1
+            if is_attn:
+                # RepCPE conditional positional encoding (train form:
+                # residual 7x7 depthwise conv) on the attention stage
+                x = x + ConvBN(dim, kernel=7, groups=dim,
+                               name=f"stage{si}_pos_emb", dtype=self.dtype,
+                               param_dtype=self.param_dtype)(x, deterministic)
+            block = AttnBlock if is_attn else RepMixerBlock
             for di in range(depth):
                 x = block(channels=dim, dtype=self.dtype,
                           param_dtype=self.param_dtype,
