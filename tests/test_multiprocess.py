@@ -1,0 +1,71 @@
+"""2-process jax.distributed rendezvous (round-2 VERDICT item 8).
+
+Exercises core/mesh.py's multi-process branch for real: two OS processes
+rendezvous at a local coordinator through the env contract
+(JAX_COORDINATOR_ADDRESS / JAX_NUM_PROCESSES / JAX_PROCESS_ID — the
+jax-native analogue of the reference's torchrun env sniffing,
+distributed.py:54-90), then run host-level broadcast_object /
+all_gather_object and one cross-process device collective.
+"""
+
+import json
+import os
+import socket
+import subprocess
+import sys
+
+import pytest
+
+pytestmark = pytest.mark.e2e
+
+
+def _free_port():
+    s = socket.socket()
+    s.bind(("127.0.0.1", 0))
+    port = s.getsockname()[1]
+    s.close()
+    return port
+
+
+def test_two_process_rendezvous(tmp_path):
+    port = _free_port()
+    worker = os.path.join(os.path.dirname(__file__), "two_process_worker.py")
+    env_base = {
+        **os.environ,
+        "JAX_COORDINATOR_ADDRESS": f"127.0.0.1:{port}",
+        "JAX_NUM_PROCESSES": "2",
+        "XLA_FLAGS": "--xla_force_host_platform_device_count=2",
+        "JAX_PLATFORMS": "cpu",
+        "JAX_PLATFORM_NAME": "cpu",
+    }
+    procs = []
+    for rank in range(2):
+        env = {**env_base, "JAX_PROCESS_ID": str(rank)}
+        procs.append(subprocess.Popen(
+            [sys.executable, worker], env=env,
+            stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
+        ))
+    outs = []
+    for p in procs:
+        try:
+            out, err = p.communicate(timeout=300)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            pytest.fail("2-process rendezvous timed out")
+        assert p.returncode == 0, f"worker failed:\n{err[-2000:]}"
+        outs.append(json.loads(out.strip().splitlines()[-1]))
+
+    by_rank = {o["rank"]: o for o in outs}
+    assert set(by_rank) == {0, 1}
+    for rank, o in by_rank.items():
+        assert o["world_size"] == 2
+        assert o["args_world"] == 2 and o["args_rank"] == rank
+        assert o["distributed"] is True
+        assert o["device_count"] == 4  # 2 procs x 2 forced host devices
+        assert o["is_master"] == (rank == 0)
+        # rank 0's payload must reach every process
+        assert o["broadcast_resume"] == "/ckpt/from_rank_0"
+        assert sorted(o["gathered"]) == [0, 1]
+        # psum over the global mesh: 2 devices x 1.0 + 2 devices x 2.0
+        assert abs(o["psum_total"] - 6.0) < 1e-6

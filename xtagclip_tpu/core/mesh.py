@@ -98,20 +98,47 @@ def world_size() -> int:
 
 
 def broadcast_object(obj, src: int = 0):
-    """Host-level object broadcast (reference distributed.py:198-208).
+    """Host-level broadcast of an arbitrary Python object (reference
+    distributed.py:198-208, torch broadcast_object_list semantics): the
+    object is pickled to bytes, the length broadcast first, then the padded
+    payload — multihost_utils only moves numeric arrays.
 
-    Single-process: identity. Multi-host: via multihost_utils.
+    Single-process: identity.
     """
     if jax.process_count() == 1:
         return obj
+    import pickle
+
     from jax.experimental import multihost_utils
 
-    return multihost_utils.broadcast_one_to_all(obj, jax.process_index() == src)
+    is_src = jax.process_index() == src
+    payload = np.frombuffer(pickle.dumps(obj), dtype=np.uint8)
+    n = int(multihost_utils.broadcast_one_to_all(
+        np.int64(payload.size), is_source=is_src))
+    buf = np.zeros(n, np.uint8)
+    if is_src:
+        buf[:payload.size] = payload
+    out = multihost_utils.broadcast_one_to_all(buf, is_source=is_src)
+    return pickle.loads(np.asarray(out).tobytes())
 
 
 def all_gather_object(obj):
+    """Gather one arbitrary Python object per process (reference
+    distributed.py:211-218): pickle, pad to the max length, allgather."""
     if jax.process_count() == 1:
         return [obj]
+    import pickle
+
     from jax.experimental import multihost_utils
 
-    return multihost_utils.process_allgather(obj)
+    payload = np.frombuffer(pickle.dumps(obj), dtype=np.uint8)
+    lengths = np.asarray(
+        multihost_utils.process_allgather(np.int64(payload.size)))
+    maxlen = int(lengths.max())
+    buf = np.zeros(maxlen, np.uint8)
+    buf[:payload.size] = payload
+    gathered = np.asarray(multihost_utils.process_allgather(buf))
+    return [
+        pickle.loads(gathered[i, :int(lengths[i])].tobytes())
+        for i in range(jax.process_count())
+    ]
