@@ -101,11 +101,13 @@ def load_checkpoint_into(bundle, path: str, strict: bool = False,
 
         converted = load_big_vision_weights(path, bundle)
     elif os.path.isdir(path):
-        from xtagclip_tpu.train.checkpoint import restore_params
+        # orbax dir: restore with the checkpoint's own shapes, then overlay —
+        # merge_converted_params resizes pos-embeds when the target geometry
+        # differs (the CLIPA --force-image-size path works for our own
+        # checkpoints, not just torch ones)
+        from xtagclip_tpu.train.checkpoint import restore_params_raw
 
-        converted = restore_params(path, bundle.params)
-        bundle.params = converted
-        return bundle
+        converted = restore_params_raw(path)
     else:
         sd = load_torch_state_dict(path)
         converted = convert_openclip_state_dict(sd)

@@ -54,6 +54,23 @@ def restore_params(path: str, params_template: Any) -> Any:
             return restored["params"]
 
 
+def restore_params_raw(path: str) -> Any:
+    """Restore bare params with the CHECKPOINT's own shapes (no template).
+
+    Needed when loading into a model whose geometry differs — e.g. the CLIPA
+    --force-image-size finetune path, where the vision pos-embed is resized
+    after load (reference factory.py:216-217)."""
+    path = os.path.abspath(path)
+    with _checkpointer() as ckptr:
+        sub = os.path.join(path, "params")
+        if os.path.isdir(sub):
+            return ckptr.restore(sub)
+        restored = ckptr.restore(path)
+        if isinstance(restored, dict) and "params" in restored:
+            return restored["params"]
+        return restored
+
+
 class CheckpointManager:
     """Epoch/latest/best checkpoint policy (reference main_other.py:580-644)."""
 

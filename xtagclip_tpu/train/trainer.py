@@ -41,7 +41,14 @@ def adapt_batch(batch, use_tagging: bool, template_id: int = 0,
         }
         return out, np.asarray(label), list(class_words)
     images, texts = batch[:2]
-    return {"images": images, "texts": np.asarray(texts)}, None, None
+    out = {"images": images, "texts": np.asarray(texts)}
+    if use_tagging:
+        # generic (synthetic/csv/webdataset) batches carry no class label;
+        # the pseudo-prompt lookup still needs a class row — class 0, like
+        # the reference's generic-caption path which simply has no class word
+        out["class_ids"] = np.zeros(np.asarray(texts).shape[0], np.int32)
+        out["template_id"] = template_id
+    return out, None, None
 
 
 def train_one_epoch(

@@ -311,8 +311,11 @@ def zero_shot_eval(module, params, data: dict, epoch: int, args, tokenizer,
                    prompt_table=None) -> dict:
     """Dispatch over eval splits (reference zero_shot_other.py:263-318)."""
     results = {}
+    # NOTE: the generic "val" split is caption pairs (retrieval metrics in
+    # evaluate(), reference train.py:251-358) — zero-shot CLASSIFICATION only
+    # runs on labeled splits (reference zero_shot.py:17-86 / zero_shot_other)
     for key in ("scar_val", "PathMNIST_val", "MedicalMNIST", "imagenet-val",
-                "imagenet-v2", "val"):
+                "imagenet-v2"):
         if key not in data:
             continue
         classnames, templates = _pick_classnames_templates(key)
