@@ -103,3 +103,59 @@ def test_orbax_resume_roundtrip(bundle, tmp_path):
     b = jax.tree_util.tree_leaves(state.params)
     for x, y in zip(a, b):
         np.testing.assert_allclose(np.asarray(x), np.asarray(y))
+
+
+def test_checkpoint_clone_hardlinks(bundle, tmp_path):
+    """Same-state tags are hardlink clones (single serialization per epoch),
+    distinct states are real saves, and clones restore identically even after
+    their source tag is deleted."""
+    from xtagclip_tpu.train.checkpoint import (
+        CheckpointManager,
+        restore_train_state,
+    )
+    from xtagclip_tpu.train.scheduler import cosine_lr
+    from xtagclip_tpu.train.train_state import create_train_state, make_optimizer
+
+    tx = make_optimizer(cosine_lr(1e-4, 1, 10), params=bundle.params)
+    state = jax.device_get(create_train_state(bundle.params, tx))
+    ck = tmp_path / "ck"
+    mgr = CheckpointManager(str(ck), save_frequency=1, save_best=True)
+
+    def tree_e(epoch, st):
+        return {"state": st, "epoch": epoch, "step": epoch * 10}
+
+    t1 = tree_e(1, state)
+    mgr.save_epoch(1, t1)
+    mgr.save_if_best({"train_top1": 0.5}, t1)
+
+    def inode_sig(tag):
+        sig = {}
+        for root, _, files in os.walk(ck / tag):
+            for f in files:
+                rel = os.path.relpath(os.path.join(root, f), ck / tag)
+                sig[rel] = os.stat(os.path.join(root, f)).st_ino
+        return sig
+
+    # epoch_latest and best_train_top1 share every data inode with epoch_1
+    base = inode_sig("epoch_1")
+    assert base and inode_sig("epoch_latest") == base
+    assert inode_sig("best_train_top1") == base
+
+    # a NEW state at the next epoch must be a real save, not a clone
+    state2 = jax.tree_util.tree_map(lambda x: x, state)
+    t2 = tree_e(2, state2)
+    mgr.save_epoch(2, t2)
+    assert inode_sig("epoch_2") != base
+    assert inode_sig("epoch_latest") == inode_sig("epoch_2")
+
+    # deleting the clone source must not corrupt the clone
+    import shutil as _sh
+    _sh.rmtree(ck / "epoch_1")
+    restored = restore_train_state(
+        str(ck), "best_train_top1",
+        {"state": create_train_state(bundle.params, tx), "epoch": 0, "step": 0},
+    )
+    assert int(restored["epoch"]) == 1
+    for x, y in zip(jax.tree_util.tree_leaves(restored["state"].params),
+                    jax.tree_util.tree_leaves(state.params)):
+        np.testing.assert_allclose(np.asarray(x), np.asarray(y))

@@ -24,6 +24,10 @@ from xtagclip_tpu.factory import (
 pytestmark = pytest.mark.e2e
 
 
+import functools
+
+
+@functools.lru_cache(maxsize=None)
 def _shape_init(name):
     bundle = create_model(name, skip_init=True)
     cfg = bundle.model_cfg

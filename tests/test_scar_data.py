@@ -84,6 +84,10 @@ def test_main_other_scar_end_to_end(scar_root, tmp_path):
 
     from xtagclip_tpu.factory import add_model_config
 
+    # text width must stay 512: the fusion TQN shares decoder_norm between
+    # the (embed-space) image memory and the (width-space) text token
+    # sequence, exactly like the reference (model.py:553-561 feeds ln_final
+    # width-space tokens into the d_model=512 TQN)
     cfg = dict(
         embed_dim=512,
         vision_cfg=dict(layers=2, width=64, head_width=32, patch_size=16,
@@ -157,11 +161,14 @@ def test_main_other_eval_only_save_embed(scar_root, tmp_path):
     from xtagclip_tpu.cli import main_other
     from xtagclip_tpu.factory import add_model_config
 
+    # text width 128 (not 512): the full-vocab token embedding dominates
+    # this test's checkpoint IO (5 orbax saves) and init cost; embed_dim
+    # stays 512 (the tag-BERT head's hidden size)
     cfg = dict(
         embed_dim=512,
         vision_cfg=dict(layers=2, width=64, head_width=32, patch_size=16,
                         image_size=32),
-        text_cfg=dict(context_length=77, vocab_size=49408, width=512, heads=4,
+        text_cfg=dict(context_length=77, vocab_size=49408, width=128, heads=4,
                       layers=2),
     )
     cfg_path = tmp_path / "tiny-evalonly.json"

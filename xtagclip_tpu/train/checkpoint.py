@@ -71,8 +71,35 @@ def restore_params_raw(path: str) -> Any:
         return restored
 
 
+def _clone_tree(src: str, dst: str):
+    """Duplicate a finished checkpoint dir via hardlinks (fallback: copy).
+
+    Checkpoint files are write-once (re-saves rmtree the dir first, which
+    only unlinks — never mutates shared inodes), so hardlink clones are safe
+    and turn the N-way epoch_latest/best_* duplication into metadata ops.
+    """
+    tmp = dst + ".tmp_clone"
+    if os.path.exists(tmp):
+        shutil.rmtree(tmp)
+    try:
+        shutil.copytree(src, tmp, copy_function=os.link)
+    except OSError:  # cross-device / fs without hardlinks
+        shutil.rmtree(tmp, ignore_errors=True)
+        shutil.copytree(src, tmp)
+    if os.path.exists(dst):
+        shutil.rmtree(dst)
+    os.rename(tmp, dst)
+    return dst
+
+
 class CheckpointManager:
-    """Epoch/latest/best checkpoint policy (reference main_other.py:580-644)."""
+    """Epoch/latest/best checkpoint policy (reference main_other.py:580-644).
+
+    Each distinct state is serialized ONCE per epoch; the other tags
+    (epoch_latest, best_*) are hardlink clones of that save — the reference
+    re-writes the full .pt for every tag, which at real checkpoint sizes
+    multiplies epoch IO several-fold.
+    """
 
     def __init__(self, ckpt_dir: str, save_frequency: int = 1,
                  save_most_recent: bool = True,
@@ -85,16 +112,38 @@ class CheckpointManager:
         self.save_best = save_best
         self.best = {k: -np.inf for k in BEST_KEYS}
         self.best["train_loss"] = np.inf
+        self._last_saved = None  # ((id, epoch, step), path)
+
+    def _save_or_clone(self, tag: str, state_tree: Any):
+        path = os.path.abspath(os.path.join(self.dir, tag))
+        # id() alone can be reused after GC; epoch+step pin the content
+        # (params only change when step advances), so a stale clone would
+        # need an id collision at the exact same training position.
+        if isinstance(state_tree, dict):
+            marker = (id(state_tree), state_tree.get("epoch"),
+                      state_tree.get("step"))
+        else:
+            marker = (id(state_tree), None, None)
+        if self._last_saved is not None:
+            last_marker, src = self._last_saved
+            if last_marker == marker and src != path and os.path.isdir(src):
+                return _clone_tree(src, path)
+        save_train_state(self.dir, tag, state_tree)
+        self._last_saved = (marker, path)
+        return path
 
     def save_epoch(self, epoch: int, state_tree: Any):
         if self.save_frequency > 0 and (epoch % self.save_frequency) == 0:
-            save_train_state(self.dir, f"epoch_{epoch}", state_tree)
+            self._save_or_clone(f"epoch_{epoch}", state_tree)
             if self.delete_previous:
                 prev = os.path.join(self.dir, f"epoch_{epoch - self.save_frequency}")
                 if os.path.isdir(prev):
                     shutil.rmtree(prev)
+                    if (self._last_saved
+                            and self._last_saved[2] == os.path.abspath(prev)):
+                        self._last_saved = None
         if self.save_most_recent:
-            save_train_state(self.dir, "epoch_latest", state_tree)
+            self._save_or_clone("epoch_latest", state_tree)
 
     def save_if_best(self, metrics: dict, state_tree: Any):
         if not self.save_best:
@@ -107,12 +156,12 @@ class CheckpointManager:
             better = v < self.best[key] if key == "train_loss" else v > self.best[key]
             if better:
                 self.best[key] = v
-                save_train_state(self.dir, f"best_{key}", state_tree)
+                self._save_or_clone(f"best_{key}", state_tree)
                 saved.append(key)
         return saved
 
     def save_last(self, state_tree: Any):
-        save_train_state(self.dir, "last", state_tree)
+        self._save_or_clone("last", state_tree)
 
     def latest_tag(self) -> Optional[str]:
         return find_latest_checkpoint(self.dir)
