@@ -171,6 +171,23 @@ def main():
     except Exception as e:  # noqa: BLE001
         train_samples_per_s = f"unavailable: {type(e).__name__}"
 
+    # analytic train-step MFU (FLOPs = 2*MACs, fwd+bwd = 3x fwd, matmuls
+    # only): states what fraction of the chip the TRAIN path achieves —
+    # eval-side MFU alone says nothing about the backward's efficiency
+    train_tflops = None
+    if isinstance(train_samples_per_s, (int, float)):
+        vc, tc = bundle.model_cfg["vision_cfg"], bundle.model_cfg["text_cfg"]
+        pp, dv, lv = vc["patch_size"], vc["width"], vc["layers"]
+        nv = (224 // pp) ** 2 + 1
+        vis_fwd = 2 * ((224 // pp) ** 2 * (pp * pp * 3) * dv
+                       + lv * (12 * nv * dv * dv + 4 * nv * nv * dv)
+                       + dv * bundle.model_cfg["embed_dim"])
+        dt_, lt, ctx = tc["width"], tc["layers"], tc["context_length"]
+        txt_fwd = 2 * (lt * (12 * ctx * dt_ * dt_ + 4 * ctx * ctx * dt_)
+                       + dt_ * bundle.model_cfg["embed_dim"])
+        per_sample = 3.0 * (vis_fwd + txt_fwd)
+        train_tflops = round(per_sample * train_samples_per_s / 1e12, 1)
+
     # large-tower datapoint (BASELINE config #5 path, round-2 VERDICT item 3):
     # ViT-L-14 eval pipeline img/s + achieved TFLOP/s; ViT-H-14 @224 and @336
     # budget permitting. Same chained-scan methodology as the headline.
@@ -333,6 +350,7 @@ def main():
         "unit": "images/sec/chip",
         "vs_baseline": round(imgs_per_sec / 5000.0, 3),
         "train_samples_per_sec_chip": train_samples_per_s,
+        "train_tflops_per_sec": train_tflops,
         "decode_imgs_per_sec_host": decode_imgs_per_s,
         "p50_classify_latency_ms": p50_ms,
         "large_tower": large_tower or None,

@@ -270,6 +270,7 @@ def main(argv=None):
         return metrics
 
     rng_key = jax.random.PRNGKey(args.seed)
+    last_tree = None
     for epoch in range(start_epoch, args.epochs):
         logging.info("Start epoch %d", epoch)
         state, train_metrics = train_one_epoch(
@@ -299,7 +300,7 @@ def main(argv=None):
                          json.dumps(eval_metrics, default=float))
 
         if is_master(args):
-            state_tree = {
+            state_tree = last_tree = {
                 "state": jax.device_get(state),
                 "epoch": epoch,
             }
@@ -319,7 +320,11 @@ def main(argv=None):
                 logging.info("saved best checkpoints: %s", saved)
 
     if is_master(args):
-        ckpt_mgr.save_last({"state": jax.device_get(state), "epoch": args.epochs - 1})
+        # reuse the final epoch's tree when available so 'last' hardlink-clones
+        # the epoch save instead of re-serializing identical state
+        ckpt_mgr.save_last(last_tree if last_tree is not None else
+                           {"state": jax.device_get(state),
+                            "epoch": args.epochs - 1})
     if remote_sync_process is not None:
         remote_sync_process.terminate()
     return state
