@@ -310,6 +310,50 @@ def main():
         except Exception as e:  # noqa: BLE001
             pipeline_samples_per_s = f"unavailable: {type(e).__name__}"
 
+    # XTag full-model forward (the paper's actual inference path, reference
+    # model.py:498-590): encode image -> tag head -> on-device pseudo-prompt
+    # lookup (jnp.take over the pre-tokenized table; the reference tokenizes
+    # on host inside forward) -> text tower over the 77-token prompts ->
+    # TQN fusion both directions. Same chained-scan methodology.
+    xtag_full_imgs_per_s = None
+    if not over_budget():
+        try:
+            from xtagclip_tpu.models.clip import num_combos
+
+            xb = create_model("ViT-B-32", precision="bf16",
+                              use_tagging=True, use_fusion=True)
+            xparams = jax.device_put(xb.params, dev)
+            n_cls = 3
+            table = jax.device_put(jnp.asarray(rng.integers(
+                1, 49407, size=(1, n_cls, num_combos(), 77)).astype(np.int32)),
+                dev)
+            cls_ids = jnp.asarray(
+                rng.integers(0, n_cls, size=(batch,)).astype(np.int32))
+
+            def xforward(p, images_u8, tbl, cids, salt):
+                x = normalize_images(images_u8, dtype=jnp.bfloat16) + salt
+                out = xb.module.apply({"params": p}, x, None, tbl, cids, 0,
+                                      True)
+                return (out["i2t_cls"].sum() + out["t2i_cls"].sum()
+                        + out["tag_logits"].sum())
+
+            def xchained(p, images_u8, tbl, cids):
+                def body(carry, _):
+                    s = xforward(p, images_u8, tbl, cids,
+                                 carry.astype(jnp.bfloat16) * 1e-9)
+                    return s.astype(jnp.float32), s
+                _, outs = jax.lax.scan(body, jnp.float32(0), jnp.arange(8))
+                return outs
+
+            xfn = jax.jit(xchained)
+            np.asarray(xfn(xparams, x_dev, table, cls_ids))  # warm
+            t0 = time.perf_counter()
+            np.asarray(xfn(xparams, x_dev, table, cls_ids))
+            xtag_full_imgs_per_s = round(
+                batch * 8 / (time.perf_counter() - t0), 1)
+        except Exception as e:  # noqa: BLE001
+            xtag_full_imgs_per_s = f"unavailable: {type(e).__name__}"
+
     # host JPEG-decode rate (the data plane the device pipeline number
     # excludes): native threaded libjpeg decode+resize+crop to 224.
     # JPEG decode is host-bound on this 1-core box — reported separately so
@@ -354,6 +398,7 @@ def main():
         "decode_imgs_per_sec_host": decode_imgs_per_s,
         "p50_classify_latency_ms": p50_ms,
         "large_tower": large_tower or None,
+        "xtag_full_forward_imgs_per_sec": xtag_full_imgs_per_s,
         "pipeline_samples_per_sec_host": pipeline_samples_per_s,
         "h2d_bandwidth_MBps": round(h2d_mbps, 0),
         "device": str(dev),
