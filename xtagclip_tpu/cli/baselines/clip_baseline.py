@@ -63,18 +63,21 @@ def build_classifier(model_name: str, pretrained, num_classes: int,
     bundle = create_model(model_name, pretrained=pretrained)
 
     class Classifier(nn.Module):
+        # module-typed field: linen binds it as a child named "visual", so
+        # the param tree carries params["visual"] that the CLIP-tower
+        # overwrite below can target
+        visual: nn.Module
+
         @nn.compact
         def __call__(self, images, additional, train: bool = False):
-            feat, _ = bundle.module.visual.clone(name="visual")(
-                images, deterministic=not train
-            )
+            feat, _ = self.visual(images, deterministic=not train)
             if lock_image:
                 feat = jax.lax.stop_gradient(feat)
             return FusionHead(num_classes=num_classes, name="head")(
                 feat, additional, train=train
             )
 
-    model = Classifier()
+    model = Classifier(visual=bundle.module.visual.clone())
     img_size = bundle.model_cfg["vision_cfg"].get("image_size", 224)
     dummy_i = jnp.zeros((1, img_size, img_size, 3))
     dummy_a = jnp.zeros((1, 22))
