@@ -47,9 +47,9 @@ def test_every_registry_config_builds():
     # runtime via add_model_config, which must not affect this sweep
     names = list_builtin_models()
     assert set(names) <= set(list_models())
-    # the reference's 113 configs + 3 CL32-GAP configs its CLIPA recipe
-    # scripts pin but its own zoo is missing
-    assert len(names) == 116
+    # the reference's 113 configs + 4 configs its CLIPA recipe scripts
+    # pin but its own zoo is missing (3x CL32-GAP + CL8-SyntaxMask)
+    assert len(names) == 117
     failures = {}
     for name in names:
         try:

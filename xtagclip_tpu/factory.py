@@ -5,7 +5,7 @@ list_models / get_model_config / add_model_config / create_model /
 create_model_and_transforms / get_tokenizer — rebuilt for JAX: a "model" is a
 (module, params) pair wrapped in ModelBundle with jitted encode helpers.
 
-116 architecture JSONs ship in assets/model_configs (the reference's 113 + 3
+117 architecture JSONs ship in assets/model_configs (the reference's 113 + 4
 CLIPA CL32-GAP configs its scripts pin; same schema as reference
 model_configs/*.json, validated for {embed_dim, vision_cfg, text_cfg}).
 """
