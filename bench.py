@@ -193,11 +193,14 @@ def main():
     # budget permitting. Same chained-scan methodology as the headline.
     large_tower = {}
 
-    def tower_rate(model_name, lbatch, k, image_size=None):
+    def tower_rate(model_name, lbatch, k, image_size=None, no_cls=False):
         # scan-over-layers: measured +3% on ViT-L (PERF.md round 3) and far
-        # cheaper to compile — right default for the deep towers
+        # cheaper to compile — right default for the deep towers.
+        # no_cls: the cls-free GAP perf option (PERF.md round 3; +15% on H/14)
         lb = create_model(model_name, precision="bf16",
-                          force_image_size=image_size, scan_layers=True)
+                          force_image_size=image_size, scan_layers=True,
+                          **({"vision_cfg": {"no_class_token": True}}
+                             if no_cls else {}))
         lparams = jax.device_put(lb.params, dev)
         size = lb.model_cfg["vision_cfg"].get("image_size", 224)
         if image_size is not None:
@@ -229,7 +232,7 @@ def main():
         # the architecture instead (matmuls only; LN/softmax excluded)
         vc = lb.model_cfg["vision_cfg"]
         p, d, layers = vc["patch_size"], vc["width"], vc["layers"]
-        ntok = (size // p) ** 2 + 1
+        ntok = (size // p) ** 2 + (0 if no_cls else 1)
         per_img = 2 * (
             (size // p) ** 2 * (p * p * 3) * d        # patchify
             + layers * (12 * ntok * d * d             # qkv/proj/mlp
@@ -252,12 +255,15 @@ def main():
         ("ViT-L-14", dict(lbatch=128, k=8)),
         ("ViT-H-14", dict(lbatch=64, k=6)),
         ("ViT-H-14@336", dict(lbatch=32, k=4, image_size=336)),
+        # cls-free GAP option (no_class_token=True): the zoo's highest-MFU
+        # configuration, for from-scratch CLIPA-GAP recipes
+        ("ViT-H-14-GAP-noCLS", dict(lbatch=64, k=6, no_cls=True)),
     ):
         if over_budget():
             break
         try:
             large_tower[name] = tower_rate(
-                name.split("@")[0], **cfg)
+                name.split("@")[0].replace("-GAP-noCLS", "-CL32-GAP"), **cfg)
         except Exception as e:  # noqa: BLE001
             large_tower[name] = f"unavailable: {type(e).__name__}"
 

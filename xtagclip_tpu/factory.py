@@ -184,6 +184,7 @@ def _build_vision_tower(embed_dim: int, vision_cfg: dict, quick: bool,
         no_ln_pre=v.get("no_ln_pre", False),
         final_ln_after_pool=v.get("final_ln_after_pool", False),
         pool_type=v.get("pool_type", "tok"),
+        no_class_token=v.get("no_class_token", False),
         output_tokens=True,
         n_learnable_tokens=v.get("n_learnable_tokens", 0),
         insert_position=v.get("insert_position", 1),

@@ -30,6 +30,9 @@ class CLIPVisionCfg:
     pos_embed_type: str = "learnable"
     final_ln_after_pool: bool = False
     pool_type: str = "tok"
+    # TPU perf option: cls-free GAP tower (clean 128-multiple attention
+    # lanes); from-scratch recipes only, changes numerics vs the reference
+    no_class_token: bool = False
     output_tokens: bool = True  # XTag default (reference model.py:538 flip)
     act_kwargs: Optional[dict] = None
     norm_kwargs: Optional[dict] = None

@@ -53,6 +53,13 @@ class VisionTransformer(nn.Module):
     no_ln_pre: bool = False
     pos_embed_type: str = "learnable"
     pool_type: str = "tok"
+    # TPU performance option (off by default; changes numerics vs the
+    # reference, so never used for pretrained parity): drop the class token
+    # entirely. The [L, L] attention matmuls then have a 128-multiple lane
+    # dimension (256 for /14@224 instead of 257) that XLA tiles cleanly —
+    # measured +13% on the bare ViT-L stack (PERF.md round 3). Only valid
+    # with pool_type='avg' (GAP); from-scratch CLIPA-GAP recipes qualify.
+    no_class_token: bool = False
     final_ln_after_pool: bool = False
     act: Callable = gelu_exact
     norm_eps: float = 1e-5
@@ -92,7 +99,11 @@ class VisionTransformer(nn.Module):
         dict instead of (pooled, tokens)."""
         scale = self.width**-0.5
         gh, gw = self.grid_size
-        n_tok = gh * gw + 1
+        if self.no_class_token and self.pool_type != "avg":
+            raise ValueError(
+                "no_class_token requires pool_type='avg' (GAP); "
+                f"got pool_type={self.pool_type!r}")
+        n_tok = gh * gw + (0 if self.no_class_token else 1)
 
         patches = self.patchify(x.astype(self.dtype))
         x = nn.Dense(
@@ -100,14 +111,16 @@ class VisionTransformer(nn.Module):
             param_dtype=self.param_dtype,
         )(patches)
 
-        class_embedding = self.param(
-            "class_embedding", nn.initializers.normal(scale), (self.width,),
-            self.param_dtype,
-        )
-        cls = jnp.broadcast_to(
-            class_embedding.astype(x.dtype)[None, None], (x.shape[0], 1, self.width)
-        )
-        x = jnp.concatenate([cls, x], axis=1)
+        if not self.no_class_token:
+            class_embedding = self.param(
+                "class_embedding", nn.initializers.normal(scale),
+                (self.width,), self.param_dtype,
+            )
+            cls = jnp.broadcast_to(
+                class_embedding.astype(x.dtype)[None, None],
+                (x.shape[0], 1, self.width)
+            )
+            x = jnp.concatenate([cls, x], axis=1)
 
         if self.pos_embed_type == "learnable":
             pos = self.param(
@@ -119,7 +132,9 @@ class VisionTransformer(nn.Module):
             pos = self.param(
                 "positional_embedding",
                 lambda key, shape, dtype: jnp.asarray(
-                    get_2d_sincos_pos_embed(self.width, gh, cls_token=True), dtype
+                    get_2d_sincos_pos_embed(
+                        self.width, gh, cls_token=not self.no_class_token),
+                    dtype,
                 ),
                 (n_tok, self.width), self.param_dtype,
             )
@@ -185,7 +200,10 @@ class VisionTransformer(nn.Module):
             return pooled @ proj.astype(pooled.dtype), tokens
 
         if self.pool_type == "avg":
-            pooled = tokens[:, 1:].mean(axis=1)
+            # with a class token present the reference pools the spatial
+            # tokens only (transformer.py:885-902 semantics)
+            pooled = (tokens.mean(axis=1) if self.no_class_token
+                      else tokens[:, 1:].mean(axis=1))
         elif self.pool_type == "tok":
             pooled = tokens[:, 0]
         else:
@@ -209,8 +227,9 @@ class VisionTransformer(nn.Module):
             sel = [inters[i] for i in take]
             if cfg.get("normalize_intermediates"):
                 sel = [ln_post(t) for t in sel]
-            prefix = [t[:, :1] for t in sel]
-            spatial = [t[:, 1:] for t in sel]
+            ncls = 0 if self.no_class_token else 1
+            prefix = [t[:, :ncls] for t in sel]
+            spatial = [t[:, ncls:] for t in sel]
             if fmt == "NCHW":
                 assert self.n_learnable_tokens == 0, (
                     "NCHW output requires a pure spatial token grid")
