@@ -1,0 +1,130 @@
+"""FSDP (ZeRO-3 via GSPMD) parameter/optimizer-state sharding.
+
+TPU-native extension with no reference analogue (the reference is DP-only,
+distributed.py:93-195): `--fsdp` shards each large kernel — and therefore its
+Adam moments — over the 'data' mesh axis. GSPMD inserts the all-gathers and
+reduce-scatters. These tests assert (1) the memory claim: each device holds
+1/N of the big kernels; (2) the semantics claim: one FSDP train step produces
+the same loss and the same updated params as the replicated-DP step.
+"""
+
+import json
+import os
+import tempfile
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from xtagclip_tpu.core.mesh import DATA_AXIS, create_mesh
+from xtagclip_tpu.factory import add_model_config, create_model
+from xtagclip_tpu.parallel.sharding import (
+    infer_param_shardings,
+    shard_batch,
+    shard_params,
+)
+from xtagclip_tpu.train.loop import make_train_step
+from xtagclip_tpu.train.scheduler import cosine_lr
+from xtagclip_tpu.train.train_state import create_train_state, make_optimizer
+
+pytestmark = pytest.mark.e2e
+
+CFG = dict(
+    embed_dim=256,
+    vision_cfg=dict(layers=2, width=256, head_width=64, patch_size=8,
+                    image_size=32),
+    text_cfg=dict(context_length=16, vocab_size=1024, width=256, heads=4,
+                  layers=2),
+)
+
+
+@pytest.fixture(scope="module")
+def bundle():
+    with tempfile.NamedTemporaryFile("w", suffix=".json", prefix="tinyfsdp-",
+                                     delete=False) as f:
+        json.dump(CFG, f)
+        path = f.name
+    add_model_config(path)
+    return create_model(os.path.basename(path)[:-5])
+
+
+def _batch(b=16):
+    rng = np.random.default_rng(7)
+    return {
+        "images": rng.standard_normal((b, 32, 32, 3), dtype=np.float32),
+        "texts": rng.integers(1, 1023, size=(b, 16)).astype(np.int32),
+    }
+
+
+def _run_one_step(bundle, mesh, fsdp):
+    params = shard_params(bundle.params, mesh, fsdp=fsdp)
+    tx = make_optimizer(cosine_lr(1e-3, 2, 10), params=params,
+                        weight_decay=0.1)
+    state = create_train_state(params, tx)
+    batch = shard_batch(_batch(), mesh)
+    step = make_train_step(bundle.module, tx, {"use_tagging_loss": False},
+                           donate=False)
+    with jax.sharding.use_mesh(mesh) if hasattr(jax.sharding, "use_mesh") \
+            else mesh:
+        state, metrics = step(state, batch, jax.random.PRNGKey(0))
+    return state, float(metrics["loss"])
+
+
+def test_fsdp_shards_large_params_one_over_n(bundle):
+    mesh = create_mesh()
+    n = mesh.shape[DATA_AXIS]
+    shardings = infer_param_shardings(bundle.params, mesh, fsdp=True)
+    placed = jax.device_put(bundle.params, shardings)
+    flat = {
+        "/".join(str(getattr(k, "key", k)) for k in path): leaf
+        for path, leaf in jax.tree_util.tree_flatten_with_path(placed)[0]
+    }
+    big = {k: v for k, v in flat.items()
+           if v.ndim >= 2 and v.size >= 2 ** 16}
+    assert big, "tiny config unexpectedly has no large kernels"
+    for name, leaf in big.items():
+        shard = leaf.addressable_shards[0].data
+        assert shard.size * n == leaf.size, (
+            f"{name}: shard {shard.shape} is not 1/{n} of {leaf.shape}")
+    # small leaves (biases, LN scales) stay replicated
+    small = [v for v in flat.values() if v.ndim == 1]
+    assert all(v.addressable_shards[0].data.size == v.size for v in small)
+
+
+def test_fsdp_step_matches_replicated_dp(bundle):
+    mesh = create_mesh()
+    state_dp, loss_dp = _run_one_step(bundle, mesh, fsdp=False)
+    state_fs, loss_fs = _run_one_step(bundle, mesh, fsdp=True)
+    assert np.isfinite(loss_fs)
+    np.testing.assert_allclose(loss_fs, loss_dp, rtol=2e-5)
+    a = jax.tree_util.tree_leaves(state_dp.params)
+    b = jax.tree_util.tree_leaves(state_fs.params)
+    for x, y in zip(a, b):
+        np.testing.assert_allclose(
+            np.asarray(x, np.float32), np.asarray(jax.device_get(y), np.float32),
+            rtol=2e-4, atol=2e-5)
+
+
+def test_fsdp_composes_with_model_axis(bundle):
+    mesh = create_mesh(data_parallel=4, model_parallel=2)
+    _, loss = _run_one_step(bundle, mesh, fsdp=True)
+    assert np.isfinite(loss)
+
+
+def test_fsdp_optimizer_state_inherits_sharding(bundle):
+    mesh = create_mesh()
+    n = mesh.shape[DATA_AXIS]
+    params = shard_params(bundle.params, mesh, fsdp=True)
+    tx = make_optimizer(cosine_lr(1e-3, 2, 10), params=params,
+                        weight_decay=0.1)
+    state = create_train_state(params, tx)
+    # Adam mu/nu for the big kernels must be sharded like the params
+    # (computation-follows-data at init, GSPMD keeps it through updates)
+    leaves = [x for x in jax.tree_util.tree_leaves(state.opt_state)
+              if hasattr(x, "addressable_shards") and x.ndim >= 2
+              and x.size >= 2 ** 16]
+    assert leaves, "no large optimizer-state leaves found"
+    for leaf in leaves:
+        assert leaf.addressable_shards[0].data.size * n == leaf.size

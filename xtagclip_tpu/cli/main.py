@@ -113,8 +113,8 @@ def main(argv=None):
         tag = find_latest_checkpoint(args.checkpoint_path)
         args.resume = os.path.join(args.checkpoint_path, tag) if tag else None
 
-    mesh = create_mesh()
-    params = shard_params(bundle.params, mesh)
+    mesh = create_mesh(model_parallel=getattr(args, "model_parallel", 1) or 1)
+    params = shard_params(bundle.params, mesh, fsdp=getattr(args, "fsdp", False))
 
     data = get_data(args, (preprocess_train, preprocess_val), epoch=0,
                     tokenizer=tokenizer)

@@ -151,9 +151,9 @@ def main(argv=None):
     n_params = sum(x.size for x in jax.tree_util.tree_leaves(bundle.params))
     logging.info("Model %s: %.2fM params", args.model, n_params / 1e6)
 
-    # mesh + sharding (DP over all devices; params replicated)
-    mesh = create_mesh()
-    params = shard_params(bundle.params, mesh)
+    # mesh + sharding (DP over all devices; params replicated unless --fsdp)
+    mesh = create_mesh(model_parallel=getattr(args, "model_parallel", 1) or 1)
+    params = shard_params(bundle.params, mesh, fsdp=getattr(args, "fsdp", False))
 
     # data
     # reference main_other.py:473-486: bare try get_data, fall back to the

@@ -158,6 +158,15 @@ def parse_args(args=None, include_xtag: bool = True):
     parser.add_argument("--horovod", default=False, action="store_true")
     parser.add_argument("--ddp-static-graph", default=False, action="store_true")
     parser.add_argument("--no-set-device-rank", default=False, action="store_true")
+    # TPU-native extension (no reference analogue): ZeRO-3-style parameter +
+    # optimizer-state sharding over the data axis, for towers whose train
+    # state exceeds one chip's HBM (ViT-H: ~10 GB params+Adam moments)
+    parser.add_argument("--fsdp", default=False, action="store_true",
+                        help="shard params and optimizer state over the data "
+                             "mesh axis (ZeRO-3 via GSPMD)")
+    parser.add_argument("--model-parallel", type=int, default=1,
+                        help="size of the 'model' mesh axis for GSPMD tensor "
+                             "sharding of the large towers")
     parser.add_argument("--seed", type=int, default=0)
     parser.add_argument("--grad-clip-norm", type=float, default=None)
     parser.add_argument("--lock-text", default=False, action="store_true")
