@@ -14,5 +14,6 @@ python -m xtagclip_tpu.cli.main \
     --force-image-size 224 \
     --pretrained "${STAGE1_CKPT:-}" \
     --grad-checkpointing \
+    --fsdp \
     --local-loss --gather-with-grad \
     "$@"

@@ -14,5 +14,6 @@ python -m xtagclip_tpu.cli.main \
     --epochs 6 \
     --force-image-size 84 \
     --grad-checkpointing \
+    --fsdp \
     --local-loss --gather-with-grad \
     "$@"
