@@ -159,3 +159,24 @@ def test_checkpoint_clone_hardlinks(bundle, tmp_path):
     for x, y in zip(jax.tree_util.tree_leaves(restored["state"].params),
                     jax.tree_util.tree_leaves(state.params)):
         np.testing.assert_allclose(np.asarray(x), np.asarray(y))
+
+
+def test_delete_previous_checkpoint_prunes(bundle, tmp_path):
+    """--delete-previous-checkpoint removes epoch N-1 on saving epoch N
+    (reference main_other.py:597-600). Regression: the prune branch indexed
+    the (marker, path) pair out of range and raised IndexError."""
+    from xtagclip_tpu.train.checkpoint import CheckpointManager
+    from xtagclip_tpu.train.scheduler import cosine_lr
+    from xtagclip_tpu.train.train_state import create_train_state, make_optimizer
+
+    tx = make_optimizer(cosine_lr(1e-4, 1, 10), params=bundle.params)
+    state = jax.device_get(create_train_state(bundle.params, tx))
+    ck = tmp_path / "ck"
+    mgr = CheckpointManager(str(ck), save_frequency=1, delete_previous=True)
+    for epoch in (1, 2, 3):
+        mgr.save_epoch(epoch, {"state": state, "epoch": epoch,
+                               "step": epoch * 10})
+    assert not (ck / "epoch_1").exists()
+    assert not (ck / "epoch_2").exists()
+    assert (ck / "epoch_3").is_dir()
+    assert (ck / "epoch_latest").is_dir()

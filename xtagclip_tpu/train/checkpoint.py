@@ -140,7 +140,7 @@ class CheckpointManager:
                 if os.path.isdir(prev):
                     shutil.rmtree(prev)
                     if (self._last_saved
-                            and self._last_saved[2] == os.path.abspath(prev)):
+                            and self._last_saved[1] == os.path.abspath(prev)):
                         self._last_saved = None
         if self.save_most_recent:
             self._save_or_clone("epoch_latest", state_tree)
