@@ -25,7 +25,33 @@ import time
 import numpy as np
 
 
+def _init_watchdog(timeout_s: float):
+    """Backend init can hang indefinitely when the TPU tunnel is down (the
+    device claim blocks in C, unkillable from Python). A daemon thread that
+    os._exit()s after printing the contract JSON line keeps the driver's
+    bench step from hanging the round."""
+    import threading
+
+    ready = threading.Event()
+
+    def watch():
+        if not ready.wait(timeout_s):
+            print(json.dumps({
+                "metric": "ViT-B images/sec/chip (preprocess+encode+sim)",
+                "value": None, "unit": "images/sec/chip", "vs_baseline": None,
+                "error": f"TPU backend did not initialize within {timeout_s:.0f}s"
+                         " (tunnel down?)",
+            }), flush=True)
+            os._exit(2)
+
+    threading.Thread(target=watch, daemon=True).start()
+    return ready
+
+
 def main():
+    backend_ready = _init_watchdog(
+        float(os.environ.get("XTAG_BENCH_INIT_TIMEOUT_S", "600")))
+
     import jax
 
     # persistent compilation cache: remote-compile times vary 2-6 min run to
@@ -52,6 +78,7 @@ def main():
         return time.perf_counter() - t_start > budget_s
 
     dev = jax.devices()[0]
+    backend_ready.set()
     bundle = create_model("ViT-B-32", precision="bf16")
     module = bundle.module
     params = jax.device_put(bundle.params, dev)
