@@ -25,6 +25,14 @@ import time
 import numpy as np
 
 
+def _stack_macs(n_tokens: int, width: int, layers: int) -> float:
+    """Matmul MACs of a transformer stack: qkv(3) + proj(1) + mlp(8) = 12·n·d²
+    per layer, attention QK^T + AV = 2·n²·d per layer. (LN/softmax excluded —
+    they are bandwidth, not MXU FLOPs.)"""
+    return layers * (12.0 * n_tokens * width * width
+                     + 2.0 * n_tokens * n_tokens * width)
+
+
 def _init_watchdog(timeout_s: float):
     """Backend init can hang indefinitely when the TPU tunnel is down (the
     device claim blocks in C, unkillable from Python). A daemon thread that
@@ -207,10 +215,10 @@ def main():
         pp, dv, lv = vc["patch_size"], vc["width"], vc["layers"]
         nv = (224 // pp) ** 2 + 1
         vis_fwd = 2 * ((224 // pp) ** 2 * (pp * pp * 3) * dv
-                       + lv * (12 * nv * dv * dv + 4 * nv * nv * dv)
+                       + _stack_macs(nv, dv, lv)
                        + dv * bundle.model_cfg["embed_dim"])
         dt_, lt, ctx = tc["width"], tc["layers"], tc["context_length"]
-        txt_fwd = 2 * (lt * (12 * ctx * dt_ * dt_ + 4 * ctx * ctx * dt_)
+        txt_fwd = 2 * (_stack_macs(ctx, dt_, lt)
                        + dt_ * bundle.model_cfg["embed_dim"])
         per_sample = 3.0 * (vis_fwd + txt_fwd)
         train_tflops = round(per_sample * train_samples_per_s / 1e12, 1)
@@ -262,8 +270,7 @@ def main():
         ntok = (size // p) ** 2 + (0 if no_cls else 1)
         per_img = 2 * (
             (size // p) ** 2 * (p * p * 3) * d        # patchify
-            + layers * (12 * ntok * d * d             # qkv/proj/mlp
-                        + 4 * ntok * ntok * d)        # attention score+value
+            + _stack_macs(ntok, d, layers)            # qkv/proj/attn/mlp
             + d * lb.model_cfg["embed_dim"]           # pooled projection
         )
         flops = float(per_img) * lbatch

@@ -94,3 +94,42 @@ def test_cls_free_trains_and_scans():
     g = jax.grad(loss_fn)(b.params)
     leaves = jax.tree_util.tree_leaves(g["visual"])
     assert all(np.isfinite(np.asarray(x)).all() for x in leaves)
+
+
+def test_cls_free_checkpoint_resizes_on_load(tmp_path):
+    """The CLIPA stage-change path for cls-free GAP towers: a checkpoint saved
+    at one image size must load into the same arch at a larger
+    --force-image-size with the pure-grid pos embed bicubic-resized (no cls
+    row to split off). Regression: the loader assumed L = S^2+1 and asserted
+    'non-square source grid' on cls-free tables."""
+    from xtagclip_tpu.convert.loader import merge_converted_params
+
+    small = _make("tinynoclsa-", dict(no_class_token=True))
+    big = _make("tinynoclsb-", dict(no_class_token=True),
+                force_image_size=64)
+    assert big.params["visual"]["positional_embedding"].shape[0] == 64  # 8x8
+
+    merged = merge_converted_params(big.params, jax.device_get(small.params),
+                                    strict=True)
+    pe = np.asarray(merged["visual"]["positional_embedding"])
+    assert pe.shape == (64, 64)
+    # resized grid, not the init values
+    assert not np.allclose(
+        pe, np.asarray(big.params["visual"]["positional_embedding"]))
+
+
+def test_cls_checkpoint_into_cls_free_drops_prefix(tmp_path):
+    """A cls-token checkpoint loaded into a cls-free tower of the same grid
+    drops the cls pos row instead of failing."""
+    from xtagclip_tpu.convert.loader import merge_converted_params
+
+    src = _make("tinyclssrc-", dict())          # cls tower: 17 pos rows
+    dst = _make("tinynoclsd-", dict(no_class_token=True))  # 16 rows
+    src_params = jax.device_get(src.params)
+    src_pe = np.asarray(src_params["visual"]["positional_embedding"])
+    assert src_pe.shape[0] == 17
+
+    merged = merge_converted_params(dst.params, src_params, strict=False)
+    pe = np.asarray(merged["visual"]["positional_embedding"])
+    assert pe.shape == (16, 64)
+    np.testing.assert_allclose(pe, src_pe[1:], rtol=1e-6)

@@ -99,3 +99,23 @@ def test_param_grads_match_single_device(setup):
     # (a wrong ring produces O(lr) divergence on most params)
     for x, y in zip(a, b):
         np.testing.assert_allclose(np.asarray(x), np.asarray(y), atol=1e-4)
+
+
+def test_ragged_final_batch_falls_back_replicated(setup):
+    """A final batch not divisible by the data axis (trainer.py leaves it
+    replicated, no drop_last) must not crash the shard_map ring path — it
+    falls back to the global-matrix loss with the same value."""
+    bundle, batch, tx = setup
+    mesh = create_mesh()
+    ragged = {k: v[:12] for k, v in batch.items()}  # 12 % 8 != 0
+    state = create_train_state(bundle.params, tx)
+    step = make_train_step(bundle.module, tx, {"siglip": True}, donate=False,
+                           mesh=mesh)
+    _, m_mesh = step(state, ragged, jax.random.PRNGKey(0))
+
+    step1 = make_train_step(bundle.module, tx, {"siglip": True}, donate=False,
+                            mesh=None)
+    _, m_one = step1(state, ragged, jax.random.PRNGKey(0))
+    np.testing.assert_allclose(
+        float(m_mesh["contrastive_loss"]), float(m_one["contrastive_loss"]),
+        rtol=1e-5)

@@ -25,6 +25,18 @@ from xtagclip_tpu.models.pos_embed import (
 )
 
 
+def _pos_prefix_tokens(n: int) -> int:
+    """1 if an [L, D] vision pos table carries a cls row (L = S^2 + 1),
+    0 for a pure grid (L = S^2, the no_class_token GAP towers)."""
+    side = int(round(n ** 0.5))
+    if side * side == n:
+        return 0
+    side = int(round((n - 1) ** 0.5))
+    if side * side == n - 1:
+        return 1
+    raise ValueError(f"vision pos-embed length {n} is neither S^2 nor S^2+1")
+
+
 def _tree_paths(tree, prefix=()):
     out = {}
     for k, v in tree.items():
@@ -70,8 +82,19 @@ def merge_converted_params(
         if val.shape != target.shape:
             name = "/".join(path)
             if name == "visual/positional_embedding":
-                side = int(round((target.shape[0] - 1) ** 0.5))
-                val = resize_vision_pos_embed(val, (side, side))
+                # prefix (cls) detection from the table lengths: cls-free GAP
+                # towers (no_class_token) carry pure S^2 grids
+                tgt_prefix = _pos_prefix_tokens(target.shape[0])
+                src_prefix = _pos_prefix_tokens(val.shape[0])
+                side = int(round((target.shape[0] - tgt_prefix) ** 0.5))
+                if src_prefix and not tgt_prefix:
+                    val = val[1:]  # cls row has no position in the GAP tower
+                elif tgt_prefix and not src_prefix:
+                    # cls-free source into a cls tower: keep the init cls row
+                    val = np.concatenate(
+                        [np.asarray(init_flat[path])[:1], val], axis=0)
+                val = resize_vision_pos_embed(val, (side, side),
+                                              num_prefix_tokens=tgt_prefix)
             elif name == "text/positional_embedding":
                 val = resize_text_pos_embed(val, target.shape[0])
             elif val.size == target.size:

@@ -90,7 +90,11 @@ def _model_losses(module, params, batch, rngs, args_cfg, prompt_table,
             mesh.shape.get("data", 1) if mesh is not None
             and "data" in mesh.axis_names else 1
         )
-        if data_shards > 1:
+        # the ring path needs the batch divisible by the data axis; a ragged
+        # final batch (trainer.py runs it replicated, no drop_last) falls
+        # back to the global-matrix loss — same value, no collective
+        if data_shards > 1 and (
+                out["image_features"].shape[0] % data_shards == 0):
             # the canonical ICI ring, INSIDE the executed step: shard_map
             # binds the data axis so siglip_loss's ppermute ring runs as a
             # true collective-permute over the mesh (reference loss.py:226-311

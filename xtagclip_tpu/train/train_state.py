@@ -118,10 +118,14 @@ def _trunk_groups(trunk_params: dict):
     return mapping, nb
 
 
-def _timm_visual_group_of(path_str: str, visual_params: dict) -> tuple:
-    """(group, total_groups) for a TimmModel-style visual tower path."""
-    trunk = visual_params.get("trunk", {})
-    mapping, nb = _trunk_groups(trunk)
+def _timm_visual_group_of(path_str: str, visual_params: dict,
+                          groups: Optional[tuple] = None) -> tuple:
+    """(group, total_groups) for a TimmModel-style visual tower path.
+
+    `groups` (a precomputed `_trunk_groups` result) avoids re-deriving the
+    trunk mapping per leaf — trainable_mask calls this for every param."""
+    mapping, nb = groups if groups is not None else _trunk_groups(
+        visual_params.get("trunk", {}))
     total = nb + 2
     parts = path_str.split("/")
     if parts[0] == "trunk" and len(parts) > 1:
@@ -173,6 +177,8 @@ def trainable_mask(
 
     visual_params = params.get("visual", {})
     timm_style = nv == 0 and "trunk" in visual_params
+    timm_groups = (_trunk_groups(visual_params.get("trunk", {}))
+                   if timm_style else None)
 
     def rule(path, leaf):
         p = _path_str(path)
@@ -183,7 +189,8 @@ def trainable_mask(
             if timm_style:
                 # timm-family tower (trunk + head): groups derived from the
                 # param tree (reference timm_model.py:87-118 group matcher)
-                g, total_groups = _timm_visual_group_of(rest, visual_params)
+                g, total_groups = _timm_visual_group_of(
+                    rest, visual_params, groups=timm_groups)
             else:
                 total_groups = nv + 2
                 g = _vit_group_of(rest, nv)
