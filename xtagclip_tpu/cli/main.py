@@ -184,6 +184,10 @@ def main(argv=None):
         "lock_image_freeze_bn_stats": bool(
             args.lock_image and args.lock_image_freeze_bn_stats),
     }
+    if args.loss_dist_impl:
+        # reference --loss-dist-impl picks the SigLIP collective variant
+        # (loss.py:314-448 'bidir'/'shift'/'reduce'/'gather')
+        args_cfg["siglip_dist_impl"] = args.loss_dist_impl
     if "coca" in args.model.lower():
         args_cfg.update(
             coca=True,

@@ -107,10 +107,14 @@ def _model_losses(module, params, batch, rngs, args_cfg, prompt_table,
             except ImportError:  # pragma: no cover - older jax
                 from jax.experimental.shard_map import shard_map
 
+            # reference dist impls (loss.py:314-448): bidir/shift are both
+            # neighbour rings -> ppermute ring; reduce/gather -> all_gather
+            impl = args_cfg.get("siglip_dist_impl", "shift")
+            impl = "gather" if impl in ("gather", "reduce") else "shift"
+
             def _ring(imgf, txtf, scale, bias):
                 l = siglip_loss(imgf, txtf, scale, bias, axis_name="data",
-                                dist_impl=args_cfg.get("siglip_dist_impl",
-                                                       "shift"))
+                                dist_impl=impl)
                 return jax.lax.pmean(l, "data")
 
             bias = out.get("logit_bias")
