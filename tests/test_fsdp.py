@@ -128,3 +128,38 @@ def test_fsdp_optimizer_state_inherits_sharding(bundle):
     assert leaves, "no large optimizer-state leaves found"
     for leaf in leaves:
         assert leaf.addressable_shards[0].data.size * n == leaf.size
+
+
+def test_fsdp_fits_vith_train_state_on_a_slice():
+    """Analytic (eval_shape, zero allocation): ViT-H-14's train state — bf16
+    params + 2 fp32 Adam moments — is ~10 GB and OOMs one 16-GB v5e chip
+    once activations and double-buffering are added; under the FSDP rules on
+    an 8-chip slice the per-chip share must drop below 2 GB."""
+    import jax.numpy as jnp
+
+    from xtagclip_tpu.factory import create_model
+    from xtagclip_tpu.parallel.sharding import param_partition_spec
+
+    bundle = create_model("ViT-H-14", skip_init=True)
+    shapes = jax.eval_shape(
+        lambda: bundle.module.init(
+            jax.random.PRNGKey(0),
+            jnp.zeros((1, 224, 224, 3), jnp.float32),
+            text=jnp.zeros((1, 77), jnp.int32),
+        )
+    )["params"]
+    n = 8
+    total_b = sharded_b = 0.0
+    for path, leaf in jax.tree_util.tree_flatten_with_path(shapes)[0]:
+        # bf16 params + 2x fp32 moments = 10 bytes/param
+        size = float(np.prod(leaf.shape)) * 10.0
+        spec = param_partition_spec(path, leaf, model_size=1, fsdp_size=n)
+        shards = n if any(ax == "data" for ax in spec) else 1
+        total_b += size
+        sharded_b += size / shards
+    assert total_b > 9e9, f"ViT-H train state should be ~10 GB, got {total_b/1e9:.1f}"
+    assert sharded_b < 2e9, (
+        f"per-chip share {sharded_b/1e9:.2f} GB — FSDP rules leave too much "
+        "replicated")
+    # the replicated residue (biases, LN scales) must be a small fraction
+    assert sharded_b < total_b / n * 1.35
