@@ -175,7 +175,10 @@ def main(argv=None):
         )
         teacher = (
             t_bundle.module,
-            {"params": shard_params(t_bundle.params, mesh),
+            # under --fsdp the frozen teacher's params shard too — its HBM
+            # share matters exactly when the student's does
+            {"params": shard_params(t_bundle.params, mesh,
+                                    fsdp=getattr(args, "fsdp", False)),
              **t_bundle.extra_variables},
         )
 

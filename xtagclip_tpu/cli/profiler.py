@@ -77,7 +77,25 @@ def profile_model(model_name: str, batch_size: int = 1, force_custom_text=False)
         "image_gmacs": round(image_flops / 2e9 / batch_size, 2),
         "text_gflops": round(text_flops / 1e9 / batch_size, 2),
         "text_gmacs": round(text_flops / 2e9 / batch_size, 2),
+        # capacity planning (no reference analogue): bf16 params + 2x fp32
+        # Adam moments, and the per-chip share under --fsdp on an 8-chip
+        # slice (parallel/sharding.py rules)
+        "train_state_gb": round(count_params(params) * 10.0 / 2 ** 30, 2),
+        "fsdp8_gb_per_chip": round(
+            _fsdp_share_bytes(params, 8) / 2 ** 30, 2),
     }
+
+
+def _fsdp_share_bytes(params, n: int, bytes_per_param: float = 10.0) -> float:
+    """Per-chip train-state bytes under the FSDP sharding rules on n chips."""
+    from xtagclip_tpu.parallel.sharding import param_partition_spec
+
+    total = 0.0
+    for path, leaf in jax.tree_util.tree_flatten_with_path(params)[0]:
+        spec = param_partition_spec(path, leaf, model_size=1, fsdp_size=n)
+        shards = n if any(ax == "data" for ax in spec) else 1
+        total += leaf.size * bytes_per_param / shards
+    return total
 
 
 def main(argv=None):
