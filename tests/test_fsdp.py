@@ -163,3 +163,45 @@ def test_fsdp_fits_vith_train_state_on_a_slice():
         "replicated")
     # the replicated residue (biases, LN scales) must be a small fraction
     assert sharded_b < total_b / n * 1.35
+
+
+def test_fsdp_with_grad_accumulation(bundle):
+    """FSDP-sharded params + the accum replay step: the grad accumulator
+    inherits the 1/N sharding (GSPMD), and the result matches the
+    replicated-DP accum step."""
+    from xtagclip_tpu.train.loop import make_accum_train_step
+
+    mesh = create_mesh()
+    rng = np.random.default_rng(3)
+    accum, micro = 2, 8
+    batch = {
+        "images": rng.standard_normal((accum, micro, 32, 32, 3),
+                                      dtype=np.float32),
+        "texts": rng.integers(1, 1023, size=(accum, micro, 16)).astype(
+            np.int32),
+    }
+
+    def run(fsdp):
+        params = shard_params(bundle.params, mesh, fsdp=fsdp)
+        tx = make_optimizer(cosine_lr(1e-3, 2, 10), params=params,
+                            weight_decay=0.1)
+        state = create_train_state(params, tx)
+        sb = shard_batch(batch, mesh, accum=True)
+        step = make_accum_train_step(bundle.module, tx,
+                                     {"use_tagging_loss": False},
+                                     accum_freq=accum, donate=False)
+        with jax.sharding.use_mesh(mesh) if hasattr(jax.sharding, "use_mesh") \
+                else mesh:
+            state, metrics = step(state, sb, jax.random.PRNGKey(0))
+        return state, float(metrics["loss"])
+
+    s_dp, l_dp = run(False)
+    s_fs, l_fs = run(True)
+    assert np.isfinite(l_fs)
+    np.testing.assert_allclose(l_fs, l_dp, rtol=2e-5)
+    for x, y in zip(jax.tree_util.tree_leaves(s_dp.params),
+                    jax.tree_util.tree_leaves(s_fs.params)):
+        np.testing.assert_allclose(
+            np.asarray(x, np.float32),
+            np.asarray(jax.device_get(y), np.float32),
+            rtol=2e-4, atol=2e-5)
