@@ -194,3 +194,41 @@ def test_profile_flag_writes_trace(tmp_path):
                     0, args, train_key="train")
     produced = list((tmp_path / "trace").rglob("*"))
     assert any(p.is_file() for p in produced), produced
+
+
+def test_loader_len_matches_yielded_batches_with_padding():
+    """len(loader) must equal the number of batches actually yielded when
+    N % world_size != 0 (regression: floor-based len() vs ceil-padded
+    _indices — len()==0 while one batch streams, poisoning total_steps)."""
+    ds = _RangeDataset(63)
+    for world, bs, drop_last in ((4, 16, True), (4, 16, False), (2, 10, False),
+                                 (1, 16, True)):
+        for rank in range(world):
+            dl = DataLoader(ds, batch_size=bs, shuffle=False, rank=rank,
+                            world_size=world, drop_last=drop_last,
+                            num_workers=2)
+            got = sum(1 for _ in dl)
+            assert got == len(dl) == dl.num_batches, (
+                f"world={world} rank={rank} bs={bs} drop_last={drop_last}: "
+                f"yielded {got}, len {len(dl)}")
+            assert len(dl) > 0  # 63/4 rounds to 16 per rank -> 1 batch @16
+
+
+def test_loader_early_exit_does_not_leak_producer_thread():
+    """Breaking out of iteration mid-epoch must let the producer thread (and
+    its worker pool) terminate (regression: blocking put() leaked them)."""
+    import threading
+    import time
+
+    ds = _RangeDataset(64)
+    dl = DataLoader(ds, batch_size=4, shuffle=False, num_workers=2, prefetch=1)
+    before = threading.active_count()
+    for _ in range(3):
+        it = iter(dl)
+        next(it)
+        it.close()  # consumer abandons the epoch
+    deadline = time.time() + 10
+    while threading.active_count() > before and time.time() < deadline:
+        time.sleep(0.05)
+    assert threading.active_count() <= before, (
+        f"{threading.active_count() - before} leaked threads")

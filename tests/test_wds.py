@@ -193,3 +193,88 @@ def test_wds_loader_native_train_decode(tmp_path):
     loader.set_epoch(1)
     imgs2, _ = next(iter(loader))
     assert not np.array_equal(imgs, imgs2)
+
+
+def test_val_loader_stops_at_stream_end_with_partial_batch(shards):
+    """Val (loop_stream=False): the final partial batch is yielded and the
+    stream is never looped — no sample evaluated twice (reference val sizing
+    is ceil per rank, data.py:436-441)."""
+    from xtagclip_tpu.data.transforms import PreprocessCfg, image_transform_eval
+    from xtagclip_tpu.tokenize.bpe import SimpleTokenizer
+
+    paths = expand_urls(os.path.join(shards, "data-{0000..0002}.tar"))
+    loader = WdsLoader(
+        WebDatasetReader(WdsConfig(shards=paths)),
+        image_transform_eval(PreprocessCfg(size=16)),
+        SimpleTokenizer(),
+        batch_size=5, num_batches=100, shuffle_buffer=1, loop_stream=False,
+    )
+    batches = list(loader)
+    total = sum(b[0].shape[0] for b in batches)
+    assert total == 24  # every decodable sample exactly once
+    assert batches[-1][0].shape[0] == 4  # 24 = 4*5 + 4 partial
+
+
+def test_val_num_batches_is_per_rank_ceil(shards):
+    """get_wds_dataset val sizing must not divide by world_size — the val
+    reader is unsplit (regression: floor-global under-evaluated 1/world)."""
+    import types
+
+    from xtagclip_tpu.data.wds import get_wds_dataset
+    from xtagclip_tpu.data.transforms import PreprocessCfg, image_transform_eval
+    from xtagclip_tpu.tokenize.bpe import SimpleTokenizer
+
+    args = types.SimpleNamespace(
+        train_data=None, val_data=os.path.join(shards, "data-{0000..0002}.tar"),
+        val_num_samples=25, batch_size=4, world_size=8, rank=0, seed=0,
+        dataset_resampled=False, train_data_upsampling_factors=None,
+        native_decode=False,
+    )
+    info = get_wds_dataset(args, image_transform_eval(PreprocessCfg(size=16)),
+                           is_train=False, tokenizer=SimpleTokenizer())
+    assert info.dataloader.num_batches == 7  # ceil(25/4), not 25//(4*8)
+
+
+def test_resampled_weights_expand_per_shard(shards, tmp_path):
+    """'::'-source upsampling factors align with brace-expanded shards
+    (regression: len(weights) != len(population) ValueError)."""
+    import types
+
+    from xtagclip_tpu.data.wds import get_wds_dataset
+    from xtagclip_tpu.data.transforms import PreprocessCfg, image_transform_train
+    from xtagclip_tpu.tokenize.bpe import SimpleTokenizer
+
+    spec = (os.path.join(shards, "data-{0000..0001}.tar") + "::"
+            + os.path.join(shards, "data-0002.tar"))
+    args = types.SimpleNamespace(
+        train_data=spec, val_data=None, train_num_samples=24, batch_size=4,
+        world_size=1, rank=0, seed=0, dataset_resampled=True,
+        train_data_upsampling_factors="1::2", native_decode=False,
+    )
+    info = get_wds_dataset(args, image_transform_train(PreprocessCfg(size=16)),
+                           is_train=True, tokenizer=SimpleTokenizer())
+    # 3 expanded shards, weights [1, 1, 2]
+    assert info.dataloader.reader.cfg.weights == [1.0, 1.0, 2.0]
+    batches = list(info.dataloader)  # draws shards without ValueError
+    assert len(batches) == 6
+
+    bad = types.SimpleNamespace(**vars(args))
+    bad.train_data_upsampling_factors = "1::2::3"
+    with pytest.raises(ValueError, match="3 entries for 2"):
+        get_wds_dataset(bad, image_transform_train(PreprocessCfg(size=16)),
+                        is_train=True, tokenizer=SimpleTokenizer())
+
+
+def test_empty_stream_raises_clear_error(tmp_path):
+    """A rank with zero shards fails with an explanatory error, not PEP 479's
+    'generator raised StopIteration'."""
+    from xtagclip_tpu.data.transforms import PreprocessCfg, image_transform_eval
+    from xtagclip_tpu.tokenize.bpe import SimpleTokenizer
+
+    loader = WdsLoader(
+        WebDatasetReader(WdsConfig(shards=[])),
+        image_transform_eval(PreprocessCfg(size=16)),
+        SimpleTokenizer(), batch_size=2, num_batches=2, shuffle_buffer=1,
+    )
+    with pytest.raises(RuntimeError, match="stream is empty"):
+        list(loader)

@@ -63,12 +63,18 @@ class DataLoader:
         self.world_size = world_size
         self._epoch = 0
 
-        n = len(dataset) // world_size if world_size > 1 else len(dataset)
+        # must match _indices exactly: ranks PAD up to ceil(n/world)
+        # (reference DistributedSampler), so len() is ceil-based — a floor
+        # here disagrees with the yielded batch count and poisons the LR
+        # schedule's total_steps
+        n = len(dataset)
+        per_rank = (n + world_size - 1) // world_size if world_size > 1 else n
         if drop_last:
-            self.num_batches = n // batch_size
+            self.num_batches = per_rank // batch_size
         else:
-            self.num_batches = (n + batch_size - 1) // batch_size
-        self.num_samples = self.num_batches * batch_size if drop_last else n
+            self.num_batches = (per_rank + batch_size - 1) // batch_size
+        self.num_samples = (self.num_batches * batch_size if drop_last
+                            else per_rank)
 
     def set_epoch(self, epoch: int):
         self._epoch = epoch
@@ -105,6 +111,18 @@ class DataLoader:
         out_q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
         stop = threading.Event()
 
+        def put_checked(item) -> bool:
+            # never block forever on a full queue: an early-exiting consumer
+            # sets stop, and an unconditional put() would leak this thread
+            # (and its worker pool) for the process lifetime
+            while not stop.is_set():
+                try:
+                    out_q.put(item, timeout=0.1)
+                    return True
+                except queue.Full:
+                    continue
+            return False
+
         def produce():
             with ThreadPoolExecutor(self.num_workers) as pool:
                 try:
@@ -112,9 +130,10 @@ class DataLoader:
                         if stop.is_set():
                             return
                         samples = list(pool.map(self.dataset.__getitem__, b))
-                        out_q.put(self.collate_fn(samples))
+                        if not put_checked(self.collate_fn(samples)):
+                            return
                 finally:
-                    out_q.put(None)
+                    put_checked(None)
 
         t = threading.Thread(target=produce, daemon=True)
         t.start()

@@ -196,6 +196,12 @@ class ScarDataset:
         label_vec[class_label] = 1.0
         additional_vec = self.dict_to_vector(additional_labels)
 
+        # NOTE (reference parity, dataloader_other.py:235-240): an unmapped
+        # attribute value is -1, which negative-indexes to the LAST label
+        # word here while dict_to_vector leaves that group all-zero — the
+        # reference has the identical caption/target disagreement
+        # (Width_label[-1]); preserved because the multi-hot target is the
+        # loss contract and cleaned CSVs ('Use'=='yes') don't hit it.
         attr_words = [
             _ATTR_LABELS[i][additional_labels[c]]
             for i, c in enumerate(ADDITIONAL_COLUMNS)

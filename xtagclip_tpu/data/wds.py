@@ -14,6 +14,7 @@ import io
 import itertools
 import json
 import logging
+import math
 import os
 import random
 import re
@@ -177,7 +178,8 @@ class WdsLoader:
     def __init__(self, reader: WebDatasetReader, transform, tokenizer,
                  batch_size: int, num_batches: int, shuffle_buffer: int = 1000,
                  seed: int = 0, native_decode: bool = False,
-                 native_target: int = 224, native_train: bool = False):
+                 native_target: int = 224, native_train: bool = False,
+                 loop_stream: bool = True):
         self.reader = reader
         self.transform = transform
         self.tokenizer = tokenizer
@@ -193,6 +195,7 @@ class WdsLoader:
         self.native_decode = native_decode
         self.native_target = native_target
         self.native_train = native_train
+        self.loop_stream = loop_stream
         self._post = None
         if native_decode:
             from xtagclip_tpu.data.native import native_available
@@ -221,6 +224,22 @@ class WdsLoader:
                     self.native_rrc_scale = tuple(aug.scale)
                     if aug.ratio is not None:
                         self.native_rrc_ratio = tuple(aug.ratio)
+        if self.native_decode and not native_train and transform is not None:
+            # The native EVAL path implements shortest-edge resize +
+            # center-crop (bilinear). Non-default resize modes
+            # ('squash'/'longest') change geometry — fall back to PIL rather
+            # than silently drifting from the reference preprocessing
+            # (transform.py:360-383). Interpolation stays bilinear on the
+            # native path; that is the documented --native-decode tradeoff.
+            cfg = getattr(transform, "cfg", None)
+            if cfg is not None and getattr(cfg, "resize_mode", "shortest") \
+                    != "shortest":
+                import warnings
+
+                warnings.warn(
+                    f"--native-decode: resize_mode={cfg.resize_mode!r} has no "
+                    "native implementation; using the PIL transform for eval")
+                self.native_decode = False
         if self.native_decode and transform is not None and getattr(
                 transform, "normalize_host", False):
             # keep the pipeline contract (normalized fp32) while the decode/
@@ -288,18 +307,34 @@ class WdsLoader:
     def __iter__(self):
         it = self._decoded()
         produced = 0
-        while produced < self.num_batches:
+        exhausted = False
+        while produced < self.num_batches and not exhausted:
             imgs, txts = [], []
             for _ in range(self.batch_size):
                 try:
                     a, t = next(it)
                 except StopIteration:
-                    it = self._decoded()  # loop shards (wds infinite stream)
-                    a, t = next(it)
+                    if not self.loop_stream:
+                        exhausted = True  # val: stop at stream end
+                        break
+                    it = self._decoded()  # train: loop shards (wds stream)
+                    try:
+                        a, t = next(it)
+                    except StopIteration:
+                        # PEP 479 would turn this into an opaque RuntimeError
+                        raise RuntimeError(
+                            "webdataset stream is empty for this rank/worker "
+                            "— fewer shards than ranks x workers, or every "
+                            "sample failed to decode") from None
                 imgs.append(a)
                 txts.append(t)
-            produced += 1
-            yield np.stack(imgs), np.stack(txts)
+            if imgs:
+                produced += 1
+                yield np.stack(imgs), np.stack(txts)
+            elif produced == 0 and exhausted:
+                raise RuntimeError(
+                    "webdataset stream yielded no samples — empty shards or "
+                    "every sample failed to decode")
 
 
 def get_wds_dataset(args, preprocess_fn, is_train, epoch=0, tokenizer=None):
@@ -322,13 +357,34 @@ def get_wds_dataset(args, preprocess_fn, is_train, epoch=0, tokenizer=None):
 
     world = getattr(args, "world_size", 1)
     rank = getattr(args, "rank", 0)
-    global_batch = args.batch_size * max(world, 1)
-    num_batches = max(1, num_samples // global_batch) if num_samples else 1
+    if is_train:
+        global_batch = args.batch_size * max(world, 1)
+        num_batches = max(1, num_samples // global_batch) if num_samples else 1
+    else:
+        # the val reader is deliberately unsplit (every process sees the full
+        # set) — batches are per-rank ceil, not floor-global (reference
+        # data.py:436-441 val sizing); the loader stops at stream end, so an
+        # over-estimate cannot duplicate samples
+        num_batches = (math.ceil(num_samples / args.batch_size)
+                       if num_samples else 1)
 
     weights = None
     if is_train and getattr(args, "train_data_upsampling_factors", None):
-        weights = [float(w) for w in
-                   args.train_data_upsampling_factors.split("::")]
+        # per-'::'-source factors expanded per SHARD to align with the
+        # brace-expanded cfg.shards (reference ResampledShards2 expands
+        # weights alongside urls, data.py:274-325)
+        src_weights = [float(w) for w in
+                       args.train_data_upsampling_factors.split("::")]
+        sources = (list(input_shards) if isinstance(input_shards, (list, tuple))
+                   else str(input_shards).split("::"))
+        if len(src_weights) != len(sources):
+            raise ValueError(
+                f"--train-data-upsampling-factors has {len(src_weights)} "
+                f"entries for {len(sources)} '::'-separated sources")
+        weights = []
+        for src, w in zip(sources, src_weights):
+            weights.extend([w] * len(expand_urls(src)))
+        assert len(weights) == len(shards)
 
     reader = WebDatasetReader(WdsConfig(
         shards=shards,
@@ -348,6 +404,6 @@ def get_wds_dataset(args, preprocess_fn, is_train, epoch=0, tokenizer=None):
         shuffle_buffer=1000 if is_train else 1,
         seed=getattr(args, "seed", 0),
         native_decode=native, native_target=native_target,
-        native_train=is_train,
+        native_train=is_train, loop_stream=is_train,
     )
     return DataInfo(dataloader=loader)

@@ -132,6 +132,16 @@ def train_one_epoch(
 
     end = time.time()
     last_metrics = {}
+    # jitted steps dispatch ASYNCHRONOUSLY: per-iteration host timing is
+    # meaningless between sync points. Throughput is therefore measured over
+    # whole log intervals — samples dispatched since the last device_get,
+    # divided by the wall time to this device_get (which waits out the
+    # device backlog). PERF.md methodology, applied to the trainer's own
+    # telemetry (reference train_other.py:251-259 measures sync steps).
+    t_interval = time.time()
+    interval_samples = interval_steps = 0
+    epoch_samples = 0
+    epoch_time = 0.0
     for i, batch in enumerate(dataloader):
         if profile and i == prof_start:
             jax.profiler.start_trace(profile_dir)
@@ -149,6 +159,10 @@ def train_one_epoch(
             batch_dict = shard(batch_dict)
         data_time.update(time.time() - end)
         state, metrics = step_fn(state, batch_dict, rng_key)
+        ishape = np.shape(batch_dict["images"])
+        interval_samples += int(
+            ishape[0] * (ishape[1] if accum_freq > 1 else 1))
+        interval_steps += 1
 
         if profiling and (i + 1 == prof_stop or i == num_batches - 1):
             jax.block_until_ready(state.params)
@@ -157,14 +171,18 @@ def train_one_epoch(
             logging.info("profiler trace written -> %s", profile_dir)
 
         if (i % args.log_every_n_steps) == 0 or i == num_batches - 1:
-            metrics = jax.device_get(metrics)
+            metrics = jax.device_get(metrics)  # sync point: backlog drained
             last_metrics = metrics
             for k, v in metrics.items():
                 meters.setdefault(k, AverageMeter()).update(float(v))
-            batch_time.update(time.time() - end)
-            ishape = np.shape(batch_dict["images"])
-            bsz = int(ishape[0] * (ishape[1] if accum_freq > 1 else 1))
-            samples_per_s = bsz / max(batch_time.val, 1e-9)
+            now = time.time()
+            interval_t = max(now - t_interval, 1e-9)
+            batch_time.update(interval_t / max(interval_steps, 1))
+            samples_per_s = interval_samples / interval_t
+            epoch_samples += interval_samples
+            epoch_time += interval_t
+            t_interval = now
+            interval_samples = interval_steps = 0
             lr = float(schedule(int(state.step))) if schedule else float("nan")
             logging.info(
                 "Train Epoch: %d [%d/%d] loss: %.5g lr: %.3g "
@@ -178,8 +196,7 @@ def train_one_epoch(
         end = time.time()
 
     epoch_metrics = {k: m.avg for k, m in meters.items()}
-    if last_metrics and num_batches:
-        ishape = np.shape(batch_dict["images"])
-        n = int(ishape[0] * (ishape[1] if accum_freq > 1 else 1))
-        epoch_metrics["samples_per_second"] = n / max(batch_time.avg, 1e-9)
+    if last_metrics and epoch_samples:
+        epoch_metrics["samples_per_second"] = epoch_samples / max(
+            epoch_time, 1e-9)
     return state, epoch_metrics
