@@ -152,3 +152,25 @@ def test_coca_cli_synthetic(tmp_path):
         "--workers", "1",
     ])
     assert (tmp_path / "logs" / "coca_e2e" / "checkpoints" / "epoch_1").is_dir()
+
+
+def test_top_p_filter_matches_hf_warper_semantics():
+    """top_p keeps the smallest descending set reaching top_p mass
+    (regression: the filter was inverted, keeping the top 1-top_p mass)."""
+    import numpy as np
+
+    from xtagclip_tpu.models.coca import top_p_filter
+
+    # probs [0.5, 0.3, 0.15, 0.05] (logits = log p up to a constant)
+    logits = np.log(np.array([[0.5, 0.3, 0.15, 0.05]]))
+    out = top_p_filter(logits.copy(), 0.6)
+    # cum = [0.5, 0.8, ...]: crossing token (idx 1) survives, rest removed
+    assert np.isfinite(out[0, :2]).all()
+    assert np.isinf(out[0, 2:]).all()
+
+    out = top_p_filter(logits.copy(), 0.95)
+    assert np.isfinite(out[0, :3]).all() and np.isinf(out[0, 3])
+
+    # degenerate top_p keeps at least the argmax
+    out = top_p_filter(logits.copy(), 1e-9)
+    assert np.isfinite(out[0, 0]) and np.isinf(out[0, 1:]).all()

@@ -180,3 +180,36 @@ def test_delete_previous_checkpoint_prunes(bundle, tmp_path):
     assert not (ck / "epoch_2").exists()
     assert (ck / "epoch_3").is_dir()
     assert (ck / "epoch_latest").is_dir()
+
+
+def test_export_roundtrip_dense_text_projection(tmp_path):
+    """proj_bias=True text towers (the SigLIP text configs) export their
+    Dense-form projection (regression: text/text_projection/{kernel,bias}
+    matched no branch and was silently dropped, leaving the reloaded
+    projection at random init)."""
+    cfg = dict(
+        embed_dim=64,
+        vision_cfg=dict(layers=1, width=64, head_width=32, patch_size=8,
+                        image_size=16),
+        text_cfg=dict(context_length=12, vocab_size=100, width=64, heads=2,
+                      layers=1, proj_bias=True),
+    )
+    with tempfile.NamedTemporaryFile("w", suffix=".json", prefix="tinydpj-",
+                                     delete=False) as f:
+        json.dump(cfg, f)
+        p = f.name
+    add_model_config(p)
+    bundle = create_model(os.path.basename(p)[:-5])
+    sd = to_openclip_state_dict(bundle.params)
+    assert "text.text_projection.weight" in sd
+    assert "text.text_projection.bias" in sd
+
+    back = convert_openclip_state_dict(sd)
+    np.testing.assert_allclose(
+        np.asarray(back["text"]["text_projection"]["kernel"]),
+        np.asarray(bundle.params["text"]["text_projection"]["kernel"]),
+        rtol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(back["text"]["text_projection"]["bias"]),
+        np.asarray(bundle.params["text"]["text_projection"]["bias"]),
+        rtol=1e-6)

@@ -57,3 +57,28 @@ def test_tag_indices_to_words_format():
     words = tag_indices_to_words(idx)
     assert words[0].startswith("Linear Width,Normal Color,")
     assert len(words[0].split(",")) == 6
+
+
+def test_prompt_table_tokenizer_agnostic_fallback():
+    """A tokenizer WITHOUT .encode/.sot_token_id (the HFTokenizer surface —
+    only __call__ + context_length) must still build the table, via full
+    per-prompt tokenization (regression: BiomedCLIP --use-tagging crashed
+    with AttributeError at startup). Using SimpleTokenizer.__call__ as the
+    opaque tokenizer also proves the fallback equals the spliced table."""
+    from xtagclip_tpu.tokenize.bpe import SimpleTokenizer
+    from xtagclip_tpu.tokenize.prompts import PromptTable
+
+    class OpaqueTokenizer:
+        def __init__(self):
+            self._t = SimpleTokenizer()
+            self.context_length = self._t.context_length
+
+        def __call__(self, texts):
+            return self._t(texts)
+
+    classes = ["Others"]
+    spliced = PromptTable(classes, SimpleTokenizer(),
+                          templates=["itemization"])
+    full = PromptTable(classes, OpaqueTokenizer(), templates=["itemization"])
+    assert full.table.shape == spliced.table.shape
+    np.testing.assert_array_equal(full.table, spliced.table)

@@ -211,7 +211,7 @@ def main(argv=None):
 
     ckpt_mgr = CheckpointManager(
         args.checkpoint_path, save_frequency=args.save_frequency,
-        save_most_recent=args.save_most_recent or True,
+        save_most_recent=args.save_most_recent,
         delete_previous=args.delete_previous_checkpoint,
     )
     rng_key = jax.random.PRNGKey(args.seed)

@@ -77,6 +77,12 @@ def to_openclip_state_dict(params) -> Dict[str, np.ndarray]:
         elif name in ("text/positional_embedding", "text/text_projection",
                       "text/cls_emb"):
             put(name.replace("/", "."), v)
+        elif name == "text/text_projection/kernel":
+            # Dense-form projection (proj_bias=True, the SigLIP text configs):
+            # torch nn.Linear layout [out, in]
+            put("text.text_projection.weight", v, transpose=True)
+        elif name == "text/text_projection/bias":
+            put("text.text_projection.bias", v)
         elif name.startswith("text/ln_final/"):
             put(f"text.ln_final."
                 f"{'weight' if name.endswith('scale') else 'bias'}", v)

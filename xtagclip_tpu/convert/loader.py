@@ -97,7 +97,12 @@ def merge_converted_params(
                                               num_prefix_tokens=tgt_prefix)
             elif name == "text/positional_embedding":
                 val = resize_text_pos_embed(val, target.shape[0])
-            elif val.size == target.size:
+            elif val.size == target.size and tuple(
+                    s for s in val.shape if s != 1) == tuple(
+                    s for s in target.shape if s != 1):
+                # only singleton-dim differences (logit_scale () vs (1,)):
+                # a general equal-size reshape would silently row-major-scramble
+                # transposed kernels instead of surfacing the converter bug
                 val = val.reshape(target.shape)
             else:
                 msg = f"shape mismatch for {name}: {val.shape} vs {target.shape}"

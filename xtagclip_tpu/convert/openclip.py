@@ -84,6 +84,75 @@ def _linear(tree, path, key, v):
 _RESBLOCK = re.compile(r"transformer\.resblocks\.(\d+)\.(.+)")
 
 
+def _conv_kernel(v: np.ndarray) -> np.ndarray:
+    """torch conv [out, in, kh, kw] -> flax [kh, kw, in, out]."""
+    return np.ascontiguousarray(v.transpose(2, 3, 1, 0))
+
+
+def _convert_modified_resnet_visual(sd: Dict[str, np.ndarray]):
+    """OpenAI/open_clip ModifiedResNet visual.* -> models/resnet.py layout.
+
+    Torch layout (reference modified_resnet.py:95-181): 3-conv stem with
+    bn1..bn3, layer{1..4}.{i}.{conv,bn}{1..3} bottlenecks with
+    downsample.{0=conv,1=bn} (index -1 is the avgpool), and
+    attnpool.{positional_embedding,q/k/v/c_proj}. Returns (params_visual,
+    batch_stats_visual); consumed keys are removed from sd."""
+    vis: Dict[str, Any] = {}
+    stats: Dict[str, Any] = {}
+
+    def bn_set(mod_path, key, v):
+        if key in ("weight", "bias"):
+            _set(vis, mod_path + ({"weight": "scale", "bias": "bias"}[key],), v)
+        elif key == "running_mean":
+            _set(stats, mod_path + ("mean",), v)
+        elif key == "running_var":
+            _set(stats, mod_path + ("var",), v)
+        elif key != "num_batches_tracked":
+            raise KeyError(f"unmapped bn key {'.'.join(mod_path)}.{key}")
+
+    layer_re = re.compile(r"layer([1-4])\.(\d+)\.(.+)")
+    for k in [k for k in sd if k.startswith("visual.")]:
+        rest = k[len("visual."):]
+        v = sd[k]
+        parts = rest.split(".")
+        if parts[0] in ("conv1", "conv2", "conv3") and parts[1] == "weight":
+            _set(vis, (parts[0], "kernel"), _conv_kernel(v))
+        elif parts[0] in ("bn1", "bn2", "bn3"):
+            bn_set((parts[0],), parts[1], v)
+        elif m := layer_re.match(rest):
+            block = f"layer{m.group(1)}_{m.group(2)}"
+            sub = m.group(3).split(".")
+            if sub[0].startswith("conv") and sub[1] == "weight":
+                _set(vis, (block, sub[0], "kernel"), _conv_kernel(v))
+            elif sub[0].startswith("bn"):
+                bn_set((block, sub[0]), sub[1], v)
+            elif sub[0] == "downsample":
+                if sub[1] == "0" and sub[2] == "weight":
+                    _set(vis, (block, "downsample_conv", "kernel"),
+                         _conv_kernel(v))
+                elif sub[1] == "1":
+                    bn_set((block, "downsample_bn"), sub[2], v)
+                else:
+                    raise KeyError(f"unmapped downsample key {k}")
+            else:
+                raise KeyError(f"unmapped bottleneck key {k}")
+        elif parts[0] == "attnpool":
+            if parts[1] == "positional_embedding":
+                _set(vis, ("attnpool", "positional_embedding"), v)
+            elif parts[1].endswith("_proj") and parts[2] in ("weight", "bias"):
+                if parts[2] == "weight":
+                    _set(vis, ("attnpool", parts[1], "kernel"),
+                         np.ascontiguousarray(v.T))
+                else:
+                    _set(vis, ("attnpool", parts[1], "bias"), v)
+            else:
+                raise KeyError(f"unmapped attnpool key {k}")
+        else:
+            raise KeyError(f"unmapped ModifiedResNet visual key {k}")
+        del sd[k]
+    return vis, stats
+
+
 def _convert_resblock(tree, tower, m, v):
     i, rest = int(m.group(1)), m.group(2)
     base = (tower, "transformer", f"resblocks_{i}")
@@ -121,6 +190,14 @@ def convert_openclip_state_dict(
     # Family dispatch (vit / eva / swin / vitamin / fastvit-reparam) sniffs
     # the key signature; unknown layouts raise instead of silently mismapping
     # (reference timm_model.py:29-172 loads these through timm itself).
+    if any(k.startswith("visual.bn1.") or k.startswith("visual.attnpool.")
+           for k in sd):
+        sd = dict(sd)
+        vis, vis_stats = _convert_modified_resnet_visual(sd)
+        tree["visual"] = vis
+        if vis_stats:
+            tree.setdefault("__batch_stats__", {})["visual"] = vis_stats
+
     if any(k.startswith("visual.trunk.") for k in sd):
         from xtagclip_tpu.convert.timm_families import convert_timm_trunk
 
@@ -130,6 +207,9 @@ def convert_openclip_state_dict(
         tree.setdefault("visual", {})["trunk"] = trunk_tree
         if fc_norm:  # timm fc_norm lives on our TimmModel head
             tree["visual"]["fc_norm"] = fc_norm
+        attn_pool = trunk_tree.pop("__attn_pool__", None)
+        if attn_pool:  # SigLIP MAP head lives on our TimmModel
+            tree["visual"]["attn_pool"] = attn_pool
         if bn_stats:
             tree["__batch_stats__"] = {"visual": {"trunk": bn_stats}}
         sd = {k: v for k, v in sd.items() if not k.startswith("visual.trunk.")}

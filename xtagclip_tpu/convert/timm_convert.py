@@ -40,6 +40,25 @@ def convert_timm_vit_state_dict(sd: Dict[str, np.ndarray], prefix: str = "") -> 
             # TimmModel head — hoisted out of the trunk tree by the caller
             put(("__fc_norm__",),
                 {"weight": "scale", "bias": "bias"}[rest.split(".")[1]], v)
+        elif rest.startswith("attn_pool."):
+            # SigLIP MAP head (timm AttentionPoolLatent) — lives on our
+            # TimmModel ('visual/attn_pool'), hoisted by the caller
+            sub = rest[len("attn_pool."):].split(".")
+            if sub[0] == "latent":
+                tree.setdefault("__attn_pool__", {})["latent"] = v
+            elif sub[0] in ("q", "kv", "proj"):
+                put(("__attn_pool__", sub[0]),
+                    "kernel" if sub[1] == "weight" else "bias",
+                    np.ascontiguousarray(v.T) if sub[1] == "weight" else v)
+            elif sub[0] == "norm":
+                put(("__attn_pool__", "norm"),
+                    {"weight": "scale", "bias": "bias"}[sub[1]], v)
+            elif sub[0] == "mlp":
+                put(("__attn_pool__", f"mlp_{sub[1]}"),
+                    "kernel" if sub[2] == "weight" else "bias",
+                    np.ascontiguousarray(v.T) if sub[2] == "weight" else v)
+            else:
+                leftovers.append(rest)
         else:
             m = block_re.match(k)
             if not m:

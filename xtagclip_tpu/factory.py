@@ -368,6 +368,7 @@ def create_model(
         nonscalar_logit_scale=cfg.get("nonscalar_logit_scale", False),
         use_tagging=use_tagging,
         use_fusion=use_fusion,
+        fusion_dim=cfg.get("fusion_dim", 512),
         dtype=cast_dtype,
         param_dtype=param_dtype,
     )

@@ -70,6 +70,11 @@ class CLIP(nn.Module):
     tag_layers: int = 2
     tag_intermediate_size: int = 3072
     num_tags: int = NUM_TAGS
+    # reference TQN_Model() hardcodes d_model=512 regardless of the towers
+    # (CAR_heads/TQN_model.py:19-24) — use_fusion therefore only works when
+    # embed_dim == fusion_dim == text width, in the reference and here alike;
+    # fusion_dim makes the constraint configurable instead of implicit
+    fusion_dim: int = 512
     dtype: Dtype = jnp.float32
     param_dtype: Dtype = jnp.float32
 
@@ -102,9 +107,15 @@ class CLIP(nn.Module):
         )
         self.tag_fc = nn.Dense(1, name="tag_fc", dtype=self.dtype,
                                param_dtype=self.param_dtype)
+        if self.use_fusion and self.embed_dim != self.fusion_dim:
+            raise ValueError(
+                f"use_fusion requires embed_dim == fusion_dim "
+                f"({self.embed_dim} != {self.fusion_dim}); the reference has "
+                "the same implicit constraint (TQN_Model d_model=512). Set "
+                "fusion_dim in the model kwargs for non-512 towers.")
         self.fusion_model = TQNModel(
-            embed_dim=512, dtype=self.dtype, param_dtype=self.param_dtype,
-            name="fusion_model",
+            embed_dim=self.fusion_dim, dtype=self.dtype,
+            param_dtype=self.param_dtype, name="fusion_model",
         )
 
     # ---- tower wrappers -------------------------------------------------

@@ -210,15 +210,7 @@ def generate(
             kth = np.sort(logits, axis=1)[:, -top_k][:, None]
             logits = np.where(logits < kth, -np.inf, logits)
         elif generation_type == "top_p":
-            sorted_idx = np.argsort(-logits, axis=1)
-            sorted_logits = np.take_along_axis(logits, sorted_idx, axis=1)
-            probs = _softmax(sorted_logits)
-            cum = np.cumsum(probs, axis=1)
-            cutoff = cum > (1 - top_p)
-            cutoff[:, 0] = False  # always keep the top token
-            mask = np.zeros_like(logits, bool)
-            np.put_along_axis(mask, sorted_idx, cutoff, axis=1)
-            logits = np.where(mask, -np.inf, logits)
+            logits = top_p_filter(logits, top_p)
         else:
             raise ValueError(generation_type)
         probs = _softmax(logits)
@@ -255,6 +247,25 @@ def _softmax(x):
     x = x - x.max(axis=-1, keepdims=True)
     e = np.exp(x)
     return e / e.sum(axis=-1, keepdims=True)
+
+
+def top_p_filter(logits: np.ndarray, top_p: float) -> np.ndarray:
+    """HF TopPLogitsWarper semantics (the reference's executed warper,
+    coca_model.py:33,268): keep the smallest descending-prob set whose
+    cumulative probability reaches top_p; mask the rest to -inf. The removal
+    mask is shifted one right so the crossing token itself survives."""
+    sorted_idx = np.argsort(-logits, axis=1)
+    sorted_logits = np.take_along_axis(logits, sorted_idx, axis=1)
+    probs = _softmax(sorted_logits)
+    cum = np.cumsum(probs, axis=1)
+    # remove a token iff the mass BEFORE it already reaches top_p — the
+    # descending-order equivalent of HF's ascending `cum <= 1 - top_p`
+    # (boundary inclusive), so exactly the crossing token survives
+    cutoff = (cum - probs) >= top_p
+    cutoff[:, 0] = False  # always keep the top token
+    mask = np.zeros_like(logits, bool)
+    np.put_along_axis(mask, sorted_idx, cutoff, axis=1)
+    return np.where(mask, -np.inf, logits)
 
 
 def _beam_search(step, image_embs, b, ctx, num_beams, num_beam_groups,

@@ -161,6 +161,42 @@ def _merge_heads(x):
     return x.transpose(0, 2, 1, 3).reshape(b, l, h * dh)
 
 
+class _FusedQKVProj(nn.Module):
+    """Fused [E, 3E] qkv projection, param layout identical to
+    nn.Dense(3*e, name='in_proj'), but DISTINCT q/k/v tensors are projected
+    through per-use kernel slices — a full in_proj per tensor would compute
+    3x the needed columns (the TQN cross-attention case)."""
+
+    e: int
+    dtype: Dtype = jnp.float32
+    param_dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, q, k, v):
+        e = self.e
+        kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                            (e, 3 * e), self.param_dtype)
+        bias = self.param("bias", nn.initializers.zeros, (3 * e,),
+                          self.param_dtype)
+        kernel = kernel.astype(self.dtype)
+        bias = bias.astype(self.dtype)
+
+        def proj(x, lo, hi):
+            return jnp.dot(x.astype(self.dtype), kernel[:, lo:hi]) + bias[lo:hi]
+
+        if q is k and k is v:
+            y = proj(q, 0, 3 * e)
+            return jnp.split(y, 3, axis=-1)
+        qh = proj(q, 0, e)
+        if k is v:
+            kv = proj(k, e, 3 * e)
+            kh, vh = jnp.split(kv, 2, axis=-1)
+        else:
+            kh = proj(k, e, 2 * e)
+            vh = proj(v, 2 * e, 3 * e)
+        return qh, kh, vh
+
+
 class MultiheadAttention(nn.Module):
     """torch.nn.MultiheadAttention-compatible attention (batch-first).
 
@@ -190,18 +226,10 @@ class MultiheadAttention(nn.Module):
             feats, name=name, dtype=self.dtype, param_dtype=self.param_dtype
         )
         if qkv_same:
-            in_proj = dense(3 * e, "in_proj")
-            if q is k and k is v:
-                qkv = in_proj(q)
-                qh, kh, vh = jnp.split(qkv, 3, axis=-1)
-            else:
-                # distinct tensors: apply the fused projection slices separately
-                qkv_q = in_proj(q)
-                qkv_k = in_proj(k)
-                qkv_v = in_proj(v)
-                qh = qkv_q[..., :e]
-                kh = qkv_k[..., e : 2 * e]
-                vh = qkv_v[..., 2 * e :]
+            qh, kh, vh = _FusedQKVProj(
+                e=e, dtype=self.dtype, param_dtype=self.param_dtype,
+                name="in_proj",
+            )(q, k, v)
         else:
             qh = dense(e, "q_proj")(q)
             kh = dense(e, "k_proj")(k)

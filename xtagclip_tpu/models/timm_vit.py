@@ -15,6 +15,7 @@ from __future__ import annotations
 import re
 from typing import Any, Optional, Tuple
 
+import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
@@ -167,6 +168,51 @@ class TimmViT(nn.Module):
         return x
 
 
+class MapPool(nn.Module):
+    """timm AttentionPoolLatent — the SigLIP 'map' pool: one learnable
+    latent query attends over the tokens, then proj + LN + residual MLP,
+    returning the latent position."""
+
+    width: int
+    num_heads: int
+    mlp_ratio: float = 4.0
+    norm_eps: float = 1e-6
+    dtype: Dtype = jnp.float32
+    param_dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, tokens):
+        b, _, w = tokens.shape
+        assert w == self.width
+        latent = self.param(
+            "latent", nn.initializers.normal(self.width ** -0.5),
+            (1, 1, self.width), self.param_dtype,
+        )
+        dense = lambda f, name: nn.Dense(f, name=name, dtype=self.dtype,
+                                         param_dtype=self.param_dtype)
+        q = dense(w, "q")(jnp.broadcast_to(latent.astype(tokens.dtype),
+                                           (b, 1, w)))
+        kv = dense(2 * w, "kv")(tokens)
+        k, v = jnp.split(kv, 2, axis=-1)
+        nh, dh = self.num_heads, w // self.num_heads
+        qh = q.reshape(b, 1, nh, dh).transpose(0, 2, 1, 3)
+        kh = k.reshape(b, -1, nh, dh).transpose(0, 2, 1, 3)
+        vh = v.reshape(b, -1, nh, dh).transpose(0, 2, 1, 3)
+        scores = jnp.einsum(
+            "bhqd,bhkd->bhqk", qh, kh, preferred_element_type=jnp.float32,
+        ) * dh ** -0.5
+        probs = jax.nn.softmax(scores, axis=-1).astype(vh.dtype)
+        ctx = jnp.einsum(
+            "bhqk,bhkd->bhqd", probs, vh, preferred_element_type=jnp.float32,
+        ).astype(tokens.dtype)
+        x = dense(w, "proj")(ctx.transpose(0, 2, 1, 3).reshape(b, 1, w))
+        y = LayerNorm(eps=self.norm_eps, name="norm")(x)
+        h = dense(int(w * self.mlp_ratio), "mlp_fc1")(y)
+        h = gelu_exact(h)
+        h = dense(w, "mlp_fc2")(h)
+        return (x + h)[:, 0]
+
+
 class TimmModel(nn.Module):
     """timm trunk + pool + proj head, (pooled, tokens) contract.
 
@@ -189,6 +235,7 @@ class TimmModel(nn.Module):
     proj_bias: bool = False
     trunk: Any = None
     fc_norm: bool = False
+    map_mlp_ratio: float = 4.0
     dtype: Dtype = jnp.float32
     param_dtype: Dtype = jnp.float32
 
@@ -205,6 +252,13 @@ class TimmModel(nn.Module):
 
         if self.pool in ("cls", "token"):
             pooled = tokens[:, 0]
+        elif self.pool == "map":
+            # SigLIP MAP head (timm AttentionPoolLatent)
+            pooled = MapPool(
+                width=tokens.shape[-1], num_heads=self.heads,
+                mlp_ratio=self.map_mlp_ratio, dtype=self.dtype,
+                param_dtype=self.param_dtype, name="attn_pool",
+            )(tokens)
         else:  # '', 'avg' -> mean over ALL tokens (timm_model.py:141-149)
             pooled = tokens.mean(axis=1)
         if self.fc_norm:
@@ -322,6 +376,23 @@ def build_timm_vision_tower(embed_dim: int, vision_cfg: dict, dtype,
         )
     size, patch, _res = m.group(1), int(m.group(2)), int(m.group(3))
     width, layers, heads = _VIT_DIMS[size]
+    if "_siglip" in name:
+        # timm SigLIP ViTs: no class token, MAP (attention-pool-latent) head,
+        # and so400m's non-integer mlp_ratio (hidden 4304 @ width 1152)
+        # 3.7362 (not 4304/1152 exactly): int(1152 * ratio) must floor to
+        # 4304, and the float quotient can round down to 4303.999...
+        ratio = 3.7362 if size == "so400m" else 4.0
+        trunk = TimmViT(
+            patch_size=patch, width=width, layers=layers, heads=heads,
+            mlp_ratio=ratio, use_cls_token=False, dtype=dtype,
+            param_dtype=param_dtype, name="trunk",
+        )
+        return TimmModel(
+            embed_dim=embed_dim, width=width, heads=heads,
+            pool=pool or "map", proj=proj, proj_bias=proj_bias, trunk=trunk,
+            map_mlp_ratio=ratio, dtype=dtype, param_dtype=param_dtype,
+            name="visual",
+        )
     return TimmModel(
         embed_dim=embed_dim,
         patch_size=patch,

@@ -40,10 +40,16 @@ class TQNDecoderLayer(nn.Module):
             num_heads=self.nhead, dropout=self.dropout, dtype=self.dtype,
             param_dtype=self.param_dtype, name="multihead_attn",
         )
-        tgt2, weights = attn(
-            tgt2, memory, memory, deterministic=deterministic,
-            return_weights=True,
-        )
+        if return_weights:
+            tgt2, weights = attn(
+                tgt2, memory, memory, deterministic=deterministic,
+                return_weights=True,
+            )
+        else:
+            # skip the weights-returning slow attention path when the maps
+            # are discarded (the train step) — the fast fused lowering runs
+            weights = None
+            tgt2 = attn(tgt2, memory, memory, deterministic=deterministic)
         tgt = tgt + nn.Dropout(self.dropout)(tgt2, deterministic=deterministic)
 
         tgt2 = LayerNorm(name="norm3")(tgt)
@@ -94,13 +100,18 @@ class TQNModel(nn.Module):
         attn_maps = []
         x = queries
         for i in range(self.num_layers):
-            x, w = TQNDecoderLayer(
+            layer = TQNDecoderLayer(
                 d_model=self.embed_dim, nhead=self.nhead,
                 dim_feedforward=self.dim_feedforward, dropout=self.dropout,
                 dtype=self.dtype, param_dtype=self.param_dtype,
                 name=f"decoder_layer_{i}",
-            )(x, memory, deterministic=deterministic, return_weights=True)
-            attn_maps.append(w)
+            )
+            if return_atten:
+                x, w = layer(x, memory, deterministic=deterministic,
+                             return_weights=True)
+                attn_maps.append(w)
+            else:
+                x = layer(x, memory, deterministic=deterministic)
         x = decoder_norm(x)
         x = nn.Dropout(self.dropout)(x, deterministic=deterministic)
 

@@ -75,6 +75,13 @@ class PromptTable:
 
     def _build(self) -> np.ndarray:
         tok = self.tokenizer
+        if not (hasattr(tok, "encode") and hasattr(tok, "sot_token_id")):
+            # HF/SigLIP tokenizers: subword merges can span fragment
+            # boundaries, so splicing is unsound — tokenize every full
+            # prompt instead (34,560 one-time calls, batched). This is the
+            # BiomedCLIP --use-tagging path; the reference tokenizes per
+            # batch inside forward() with the same tokenizer (model.py:545).
+            return self._build_full()
         ctx = self.context_length
         sizes = TAG_CATEGORY_SIZES
         offsets = TAG_CATEGORY_OFFSETS
@@ -114,6 +121,31 @@ class PromptTable:
                         ids = ids[:ctx]
                         ids[-1] = tok.eot_token_id
                     out[ti, ci, combo, : len(ids)] = ids
+        return out
+
+    def _build_full(self) -> np.ndarray:
+        """Tokenizer-agnostic table build: render and batch-tokenize every
+        (template, class, combo) prompt with the tokenizer's own __call__."""
+        sizes = TAG_CATEGORY_SIZES
+        offsets = TAG_CATEGORY_OFFSETS
+        n_combos = int(np.prod(sizes))
+        ctx = self.context_length
+        out = np.zeros(
+            (len(self.templates), len(self.class_words), n_combos, ctx),
+            dtype=np.int32,
+        )
+        combos = list(itertools.product(*[range(s) for s in sizes]))
+        for ti, tname in enumerate(self.templates):
+            for ci, cw in enumerate(self.class_words):
+                prompts = [
+                    render_prompt(
+                        tname, cw,
+                        [self.tag_list[offsets[cat] + choice[cat]]
+                         for cat in range(len(sizes))],
+                    )
+                    for choice in combos
+                ]
+                out[ti, ci] = np.asarray(self.tokenizer(prompts), np.int32)
         return out
 
     # -- host-side helpers ----------------------------------------------------
