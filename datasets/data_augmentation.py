@@ -13,6 +13,7 @@ from __future__ import annotations
 import argparse
 import os
 import random
+import zlib
 from collections import Counter
 
 import numpy as np
@@ -97,7 +98,10 @@ def class_balanced_augment_and_save(
             except OSError as e:
                 print(f"skip {src}: {e}")
                 continue
-            out = aug(img, index=produced + hash(name) % 10_000)
+            # stable hash: builtin hash() is salted per process, which would
+            # break the per-image-deterministic (--seed) contract
+            name_h = zlib.crc32(str(name).encode()) % 10_000
+            out = aug(img, index=produced + name_h)
             stem, ext = os.path.splitext(name)
             new_name = f"{stem}_aug{per_img[ridx]}{ext or '.png'}"
             out.save(os.path.join(output_dir, new_name))

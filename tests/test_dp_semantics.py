@@ -94,7 +94,7 @@ def test_train_one_epoch_shards_batches_over_data_axis():
         return state, {"loss": 0.0}
 
     state = types.SimpleNamespace(step=0)
-    train_one_epoch(None, state, step_fn, {"train": _fake_info(16, 8)},
+    train_one_epoch(state, step_fn, {"train": _fake_info(16, 8)},
                     0, _args(), train_key="train", mesh=mesh)
     assert recorded
     for s in recorded:
@@ -111,7 +111,7 @@ def test_train_one_epoch_accum_reshapes_and_shards():
         return state, {"loss": 0.0}
 
     state = types.SimpleNamespace(step=0)
-    train_one_epoch(None, state, step_fn, {"train": _fake_info(16, 16)},
+    train_one_epoch(state, step_fn, {"train": _fake_info(16, 16)},
                     0, _args(accum_freq=2), train_key="train", mesh=mesh)
     (shape, sharding), = recorded[:1]
     assert shape[:2] == (2, 8)  # [accum, micro_b, ...]
@@ -128,7 +128,7 @@ def test_unshardable_batch_falls_back_replicated_with_warning():
 
     state = types.SimpleNamespace(step=0)
     args = _args()
-    train_one_epoch(None, state, step_fn, {"train": _fake_info(6, 6)},
+    train_one_epoch(state, step_fn, {"train": _fake_info(6, 6)},
                     0, args, train_key="train", mesh=mesh)
     assert getattr(args, "_warned_unshardable", False)
     assert isinstance(recorded[0], np.ndarray)  # left on host, replicated
@@ -190,7 +190,7 @@ def test_profile_flag_writes_trace(tmp_path):
     state = types.SimpleNamespace(step=0, params=jnp.zeros(1))
     args = _args(profile=True, profile_dir=str(tmp_path / "trace"),
                  profile_steps=2)
-    train_one_epoch(None, state, step_fn, {"train": _fake_info(32, 4)},
+    train_one_epoch(state, step_fn, {"train": _fake_info(32, 4)},
                     0, args, train_key="train")
     produced = list((tmp_path / "trace").rglob("*"))
     assert any(p.is_file() for p in produced), produced

@@ -64,3 +64,23 @@ def test_normalize_matches_totensor_normalize():
     img = Image.open(IMAGES[0])
     full = EvalTransform(cfg, normalize_host=True)(img)
     np.testing.assert_allclose(full, ours, atol=1e-6)
+
+
+def test_pallas_normalize_matches_reference_impl():
+    """Gridded Pallas normalize kernel (one image per grid step) matches the
+    plain jnp implementation (regression: the un-gridded kernel put the whole
+    batch in one VMEM block, which cannot compile at production sizes)."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from xtagclip_tpu.ops.preprocess import (
+        normalize_images,
+        normalize_images_pallas,
+    )
+
+    rng = np.random.default_rng(0)
+    x = rng.integers(0, 256, size=(4, 32, 32, 3)).astype(np.uint8)
+    a = np.asarray(normalize_images(jnp.asarray(x), dtype=jnp.float32))
+    b = np.asarray(normalize_images_pallas(jnp.asarray(x), dtype=jnp.float32,
+                                           interpret=True))
+    np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-6)

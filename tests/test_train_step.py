@@ -222,3 +222,63 @@ def test_copy_codebase(tmp_path):
     dst = copy_codebase(args)
     assert os.path.isfile(os.path.join(dst, "factory.py"))
     assert os.path.isfile(os.path.join(dst, "models", "clip.py"))
+
+
+def test_accum_siglip_matches_single_step(tiny_bundle, rng):
+    """--siglip with --accum-freq must train the sigmoid objective
+    (regression: the accum path hardcoded clip_loss). With no dropout the
+    replayed features equal the cached ones, so every microbatch computes
+    the same full-matrix sigmoid loss as the single big step."""
+    batch, table = _batch(rng, b=8)
+    batch = {"images": batch["images"],
+             "texts": rng.integers(1, 999, size=(8, 16)).astype(np.int32)}
+    sched = cosine_lr(1e-3, 2, 50)
+    tx = make_optimizer(sched, params=tiny_bundle.params)
+
+    state1 = create_train_state(tiny_bundle.params, tx)
+    one = make_train_step(tiny_bundle.module, tx, {"siglip": True},
+                          donate=False)
+    _, m1 = one(state1, batch, jax.random.PRNGKey(0))
+
+    micro = {k: v.reshape((2, 4) + v.shape[1:]) for k, v in batch.items()}
+    state2 = create_train_state(tiny_bundle.params, tx)
+    acc = make_accum_train_step(tiny_bundle.module, tx, {"siglip": True},
+                                accum_freq=2, donate=False)
+    _, m2 = acc(state2, micro, jax.random.PRNGKey(0))
+    np.testing.assert_allclose(float(m2["contrastive_loss"]),
+                               float(m1["contrastive_loss"]), rtol=1e-5)
+
+
+def test_accum_step_bn_tower(rng):
+    """--accum-freq with a BatchNorm tower (RN50-style) must run and update
+    the running stats (regression: extra_vars were dropped, so flax raised
+    on the missing batch_stats collection)."""
+    cfg = dict(
+        embed_dim=64,
+        vision_cfg=dict(layers=[1, 1, 1, 1], width=16, image_size=32),
+        text_cfg=dict(context_length=16, vocab_size=1000, width=64, heads=2,
+                      layers=1),
+    )
+    with tempfile.NamedTemporaryFile("w", suffix=".json", prefix="tinyrnacc-",
+                                     delete=False) as f:
+        json.dump(cfg, f)
+        path = f.name
+    add_model_config(path)
+    bundle = create_model(os.path.basename(path)[:-5])
+    assert "batch_stats" in bundle.extra_variables
+
+    batch = {
+        "images": rng.standard_normal((2, 4, 32, 32, 3)).astype(np.float32),
+        "texts": rng.integers(1, 999, size=(2, 4, 16)).astype(np.int32),
+    }
+    tx = make_optimizer(cosine_lr(1e-3, 2, 50), params=bundle.params)
+    state = create_train_state(bundle.params, tx,
+                               extra_vars=bundle.extra_variables)
+    step = make_accum_train_step(bundle.module, tx, {}, accum_freq=2,
+                                 donate=False)
+    before = jax.tree_util.tree_leaves(
+        state.extra_vars["batch_stats"])[0].copy()
+    state, m = step(state, batch, jax.random.PRNGKey(0))
+    assert np.isfinite(float(m["loss"]))
+    after = jax.tree_util.tree_leaves(state.extra_vars["batch_stats"])[0]
+    assert not np.allclose(np.asarray(before), np.asarray(after))

@@ -274,7 +274,7 @@ def main(argv=None):
     for epoch in range(start_epoch, args.epochs):
         logging.info("Start epoch %d", epoch)
         state, train_metrics = train_one_epoch(
-            bundle.module, state, step_fn, data, epoch, args,
+            state, step_fn, data, epoch, args,
             schedule=schedule, rng_key=rng_key, train_key=train_key,
             mesh=mesh,
         )

@@ -94,7 +94,9 @@ def is_master(args=None) -> bool:
 
 
 def world_size() -> int:
-    return jax.device_count()
+    """PROCESS count — the unit for dataset splitting (see the NOTE in
+    init_distributed; device_count here would under-read data 1/N)."""
+    return jax.process_count()
 
 
 def broadcast_object(obj, src: int = 0):

@@ -39,40 +39,44 @@ def normalize_images_pallas(
     mean=OPENAI_DATASET_MEAN,
     std=OPENAI_DATASET_STD,
     dtype=jnp.bfloat16,
+    interpret: bool = False,
 ):
-    """Pallas fused uint8->bf16 normalize.
+    """Pallas fused uint8->bf16 normalize, gridded one image per step.
 
-    One VMEM pass per image row-block: cast, FMA, downcast. Kept simple —
-    XLA's own fusion is already near-bandwidth-bound for this op; the kernel
-    exists to guarantee the fusion and as the attachment point for future
-    crop/resize fusion.
+    One VMEM pass per image: cast, FMA, downcast. Kept simple — XLA's own
+    fusion is already near-bandwidth-bound for this op; the kernel exists to
+    guarantee the fusion and as the attachment point for future crop/resize
+    fusion. `interpret=True` runs the kernel in interpreter mode (CPU tests).
     """
     from jax.experimental import pallas as pl
-    from jax.experimental.pallas import tpu as pltpu
 
     b, h, w, c = images_u8.shape
     mean = np.asarray(mean, np.float32)
     std = np.asarray(std, np.float32)
-    scale = jnp.asarray((1.0 / (255.0 * std)), jnp.float32)
-    bias = jnp.asarray((-mean / std), jnp.float32)
+    n = h * w * c
+    scale = jnp.asarray(1.0 / (255.0 * std), jnp.float32).reshape(1, 3)
+    bias = jnp.asarray(-mean / std, jnp.float32).reshape(1, 3)
 
-    flat = images_u8.reshape(b, h * w * c)
+    flat = images_u8.reshape(b, n)
 
     def kernel(x_ref, scale_ref, bias_ref, o_ref):
         x = x_ref[...].astype(jnp.float32)
-        n = x.shape[-1]
-        s = jnp.tile(scale_ref[...], (n // 3,))
-        t = jnp.tile(bias_ref[...], (n // 3,))
+        s = jnp.tile(scale_ref[...], (1, n // 3))
+        t = jnp.tile(bias_ref[...], (1, n // 3))
         o_ref[...] = (x * s + t).astype(dtype)
 
+    # one image per grid step: a 224px image is ~600 KB of fp32 intermediate,
+    # comfortably inside VMEM; un-gridded, a whole batch would blow it
     out = pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct((b, h * w * c), dtype),
+        grid=(b,),
+        out_shape=jax.ShapeDtypeStruct((b, n), dtype),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec((1, n), lambda i: (i, 0)),
+            pl.BlockSpec((1, 3), lambda i: (0, 0)),
+            pl.BlockSpec((1, 3), lambda i: (0, 0)),
         ],
-        out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+        out_specs=pl.BlockSpec((1, n), lambda i: (i, 0)),
+        interpret=interpret,
     )(flat, scale, bias)
     return out.reshape(b, h, w, c)

@@ -272,6 +272,12 @@ def make_accum_train_step(
 
     def step(state: TrainState, batch, rng):
         rngs_base = jax.random.fold_in(rng, state.step)
+        extra_vars = state.extra_vars
+        variables = {"params": state.params, **(extra_vars or {})}
+        # BN towers (RN50): run the cached/replay forwards with the running
+        # stats collection present; stat updates are captured from the replay
+        # pass below (reference runs both passes in train mode too)
+        mutable = list(extra_vars) if extra_vars else False
 
         def micro(batch_i, i):
             # scalar leaves (e.g. template_id) are shared across microbatches
@@ -283,7 +289,7 @@ def make_accum_train_step(
         def cache_one(carry, i):
             mb = micro(batch, i)
             out = module.apply(
-                {"params": state.params},
+                variables,
                 mb["images"],
                 text=mb.get("texts"),
                 prompt_table=prompt_table,
@@ -291,7 +297,10 @@ def make_accum_train_step(
                 template_id=mb.get("template_id", 0),
                 deterministic=False,
                 rngs={"dropout": jax.random.fold_in(rngs_base, i)},
+                mutable=mutable,
             )
+            if mutable:
+                out, _ = out
             return carry, (out["image_features"], out["text_features"])
 
         _, (img_f, txt_f) = jax.lax.scan(
@@ -306,7 +315,7 @@ def make_accum_train_step(
 
             def loss_fn(params):
                 out = module.apply(
-                    {"params": params},
+                    {"params": params, **(extra_vars or {})},
                     mb["images"],
                     text=mb.get("texts"),
                     prompt_table=prompt_table,
@@ -314,16 +323,31 @@ def make_accum_train_step(
                     template_id=mb.get("template_id", 0),
                     deterministic=False,
                     rngs={"dropout": jax.random.fold_in(rngs_base, i)},
+                    mutable=mutable,
                 )
+                new_vars = {}
+                if mutable:
+                    out, new_vars = out
                 # splice this microbatch's live features into the cache
                 a, mbs, d = img_f.shape
                 all_img = img_f.at[i].set(out["image_features"]).reshape(-1, d)
                 all_txt = txt_f.at[i].set(out["text_features"]).reshape(-1, d)
-                contrastive = clip_loss(all_img, all_txt, out["logit_scale"])
+                if args_cfg.get("siglip"):
+                    bias = out.get("logit_bias")
+                    if bias is None:
+                        bias = jnp.zeros((), jnp.float32)
+                    contrastive = siglip_loss(
+                        all_img, all_txt, out["logit_scale"], bias)
+                else:
+                    contrastive = clip_loss(
+                        all_img, all_txt, out["logit_scale"])
                 total = contrastive
                 metrics = {"contrastive_loss": contrastive,
                            "logit_scale": out["logit_scale"]}
-                if "additional" in mb:
+                # reference accum objective (train_other.py:191-194):
+                # total = sum(losses) + tag_losses — tag at 1x and NO
+                # dqncos fusion CE, unlike the non-accum step's 2x combo
+                if args_cfg.get("use_tagging_loss") and "additional" in mb:
                     tag_l = asymmetric_loss(
                         out["tag_logits"], jnp.tile(mb["additional"], (1, 2)),
                         gamma_neg=args_cfg.get("asl_gamma_neg", 4),
@@ -333,16 +357,22 @@ def make_accum_train_step(
                     total = total + tag_l
                     metrics["tagging_loss"] = tag_l
                 metrics["loss"] = total
-                return total, metrics
+                return total, (metrics, new_vars)
 
-            (_, m), g = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
+            ((_, (m, new_vars)), g) = jax.value_and_grad(
+                loss_fn, has_aux=True)(state.params)
             carry = jax.tree.map(jnp.add, carry, g)
-            return carry, m
+            return carry, (m, new_vars)
 
         zero = jax.tree.map(jnp.zeros_like, state.params)
-        grads, metrics = jax.lax.scan(grad_one, zero, jnp.arange(accum_freq))
+        grads, (metrics, vars_seq) = jax.lax.scan(
+            grad_one, zero, jnp.arange(accum_freq))
         metrics = jax.tree.map(lambda x: x.mean(), metrics)
         new_state = apply_gradients(state, grads, tx)
+        if mutable:
+            # keep the LAST microbatch's updated running stats
+            new_state = new_state.replace(extra_vars=jax.tree.map(
+                lambda x: x[-1], vars_seq))
         return new_state, metrics
 
     return jax.jit(step, donate_argnums=(0,) if donate else ())

@@ -52,7 +52,6 @@ def adapt_batch(batch, use_tagging: bool, template_id: int = 0,
 
 
 def train_one_epoch(
-    module,
     state,
     step_fn,
     data: Dict[str, Any],

@@ -107,6 +107,11 @@ def run_scar_eval(
     """Eval loop over a Scar-style loader (image, label, additional, tokens,
     class_word, class_idx). Returns metrics dict.
 
+    prompt_table is accepted for call-site symmetry with the train step but
+    unused: classification logits are 100*img@W and tag metrics come from
+    tag_logits — the reference eval's pseudo-prompt text pass contributes to
+    neither (zero_shot_other.py:59-261), so the jitted eval forward skips it.
+
     fusion_scoring applies the fusion-aware similarity
     (train_other_simple.py:442-455): 100 * (cos(mean_tokens, W) +
     mean_over_tokens cos(token_l, W)) / 2 — pure jnp on device, replacing the
