@@ -1,0 +1,60 @@
+"""Zero-shot classification with a prompt-ensemble classifier.
+
+The reference flow (zero_shot_classifier.py:21-68 + zero_shot.py:17-86):
+encode every (template x class) prompt, mean over templates, L2-normalize
+into a [D, C] weight matrix, then score images with 100 * img @ W.
+
+Works offline with random-init weights; pass --pretrained for real ones
+(e.g. laion400m_e32, or a local .pt / orbax checkpoint path).
+"""
+import argparse
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+import xtagclip_tpu as xc
+from xtagclip_tpu.train.metadata import SIMPLE_SCAR_TEMPLATES, SCAR_CLASSNAMES
+from xtagclip_tpu.train.zero_shot import build_zero_shot_classifier
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--model", default="ViT-B-32")
+    ap.add_argument("--pretrained", default=None)
+    ap.add_argument("--image", default=None, help="optional image file")
+    args = ap.parse_args()
+
+    if args.pretrained:
+        bundle, _, preprocess = xc.create_model_and_transforms(
+            args.model, pretrained=args.pretrained, precision="bf16")
+    else:
+        bundle, _, preprocess = xc.create_model_and_transforms(
+            args.model, precision="bf16")
+    tokenizer = xc.get_tokenizer(args.model)
+
+    # [D, C] classifier from the scar class names + simple templates
+    classifier = build_zero_shot_classifier(
+        bundle.module, bundle.params, tokenizer,
+        classnames=SCAR_CLASSNAMES,
+        templates=SIMPLE_SCAR_TEMPLATES,
+    )
+
+    if args.image:
+        from PIL import Image
+        img = np.asarray(preprocess(Image.open(args.image).convert("RGB")))
+        img = img[None]
+    else:  # synthetic smoke input
+        img = np.random.default_rng(0).normal(size=(1, 224, 224, 3))
+        img = img.astype(np.float32)
+
+    feats, _ = bundle.encode_image(jnp.asarray(img))   # L2-normalized [1, D]
+                                                       # (XTag 2-tuple return)
+    logits = 100.0 * feats @ classifier                # [1, C]
+    probs = np.asarray(jax.nn.softmax(logits, axis=-1))[0]
+    for name, p in sorted(zip(SCAR_CLASSNAMES, probs), key=lambda t: -t[1]):
+        print(f"{p:6.3f}  {name}")
+
+
+if __name__ == "__main__":
+    main()
