@@ -63,14 +63,14 @@ def main():
     import jax
 
     # persistent compilation cache: remote-compile times vary 2-6 min run to
-    # run; cached XLA binaries make repeat runs (and the driver's) fast
+    # run; cached XLA binaries make repeat runs (and the driver's) fast.
+    # Crash-safe writes: the driver kills over-budget benches, and a
+    # truncated entry would abort every later run (utils/compile_cache.py).
+    from xtagclip_tpu.utils.compile_cache import enable_persistent_cache
+
     cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                              ".jax_cache")
-    try:
-        jax.config.update("jax_compilation_cache_dir", cache_dir)
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
-    except Exception:  # noqa: BLE001 — older jax without the knobs
-        pass
+    enable_persistent_cache(cache_dir, min_compile_time_secs=5.0)
 
     import jax.numpy as jnp
 

@@ -30,13 +30,12 @@ jax.config.update("jax_num_cpu_devices", 8)
 # (round-2 VERDICT item 9). min_compile_time 0: profiling showed the e2e
 # CLI runs spend minutes in dozens of sub-2s compiles that a nonzero
 # threshold would silently keep recompiling on this 1-core host.
+# crash-safe writes: a killed run must never leave a truncated entry that
+# SIGABRTs every later suite run (see utils/compile_cache.py docstring)
+from xtagclip_tpu.utils.compile_cache import enable_persistent_cache
+
 _cache_dir = os.path.join(os.path.dirname(__file__), ".jax_test_cache")
-try:
-    jax.config.update("jax_compilation_cache_dir", _cache_dir)
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
-    jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
-except Exception:  # noqa: BLE001 — older jax without the knobs
-    pass
+enable_persistent_cache(_cache_dir, min_compile_time_secs=0.0)
 
 import numpy as np
 import pytest
