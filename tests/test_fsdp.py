@@ -165,7 +165,33 @@ def test_fsdp_fits_vith_train_state_on_a_slice():
     assert sharded_b < total_b / n * 1.35
 
 
-def test_fsdp_with_grad_accumulation(bundle):
+@pytest.fixture()
+def fresh_compile(tmp_path):
+    """Route this test's compiles to a throwaway cache directory.
+
+    XLA:CPU intermittently SIGABRTs when RELOADING the serialized
+    executable of this particular program shape (GSPMD-sharded params +
+    lax.scan over value_and_grad microbatches): the same test passes when
+    the program is compiled in-process and can abort the whole pytest
+    process when the executable comes back from the on-disk cache (the
+    entry written by one green full-suite run reproducibly aborted every
+    later run; an entry written by a standalone run loaded fine). A
+    per-run tmp cache dir means reads always miss and nothing persists:
+    deterministic fresh compilation, ~35 s. (Flipping
+    jax_enable_compilation_cache instead is NOT reliable: is_cache_used
+    latches per-process before the fixture runs.)
+    """
+    from jax._src import compilation_cache as cc
+
+    old_dir = jax.config.jax_compilation_cache_dir
+    cc.reset_cache()
+    jax.config.update("jax_compilation_cache_dir", str(tmp_path / "cc"))
+    yield
+    cc.reset_cache()
+    jax.config.update("jax_compilation_cache_dir", old_dir)
+
+
+def test_fsdp_with_grad_accumulation(bundle, fresh_compile):
     """FSDP-sharded params + the accum replay step: the grad accumulator
     inherits the 1/N sharding (GSPMD), and the result matches the
     replicated-DP accum step."""
