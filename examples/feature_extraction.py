@@ -9,10 +9,24 @@ Works offline: with no --image-dir it embeds synthetic images.
 import argparse
 import os
 
+# JAX_PLATFORMS=cpu alone does not stop TPU plugins that ignore the env var
+# (e.g. the axon plugin); the config route always works
+if os.environ.get("JAX_PLATFORMS", "").strip() == "cpu":
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+
 import jax.numpy as jnp
 import numpy as np
 
 import xtagclip_tpu as xc
+
+
+def _pooled(out):
+    # XTag CLIP returns (pooled, tokens); CoCa returns pooled only.
+    # np.save cannot represent bfloat16 — export fp32.
+    x = out[0] if isinstance(out, tuple) else out
+    return np.asarray(x, dtype=np.float32)
 
 
 def main():
@@ -49,13 +63,11 @@ def main():
 
     img_feats = []
     for i in range(0, len(imgs), args.batch_size):
-        pooled, _ = bundle.encode_image(  # XTag 2-tuple: (pooled, tokens)
-            jnp.asarray(imgs[i:i + args.batch_size]))
-        img_feats.append(np.asarray(pooled))
+        img_feats.append(_pooled(
+            bundle.encode_image(jnp.asarray(imgs[i:i + args.batch_size]))))
     img_feats = np.concatenate(img_feats)
 
-    txt_pooled, _ = bundle.encode_text(jnp.asarray(tokenizer(args.texts)))
-    txt_feats = np.asarray(txt_pooled)
+    txt_feats = _pooled(bundle.encode_text(jnp.asarray(tokenizer(args.texts))))
 
     np.savez(args.out, image_features=img_feats, text_features=txt_feats,
              image_names=np.array(names), texts=np.array(args.texts))

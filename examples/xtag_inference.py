@@ -9,6 +9,14 @@ Flow (reference model.py:488-586, but with zero host/device syncs):
 Works offline with random-init weights; use --pretrained for real ones.
 """
 import argparse
+import os
+
+# JAX_PLATFORMS=cpu alone does not stop TPU plugins that ignore the env var
+# (e.g. the axon plugin); the config route always works
+if os.environ.get("JAX_PLATFORMS", "").strip() == "cpu":
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
 
 import jax
 import jax.numpy as jnp
@@ -46,8 +54,10 @@ def main():
 
     @jax.jit
     def infer(params, imgs, table, class_ids):
-        return bundle.module.apply(
-            {"params": params}, imgs, None, table, class_ids, 0, True)
+        # bundle.apply threads extra_variables (BatchNorm batch_stats on
+        # ResNet towers) alongside the params
+        return bundle.apply(imgs, None, table, class_ids, 0, True,
+                            params=params)
 
     out = infer(bundle.params, imgs, table, class_ids)
     print("tag_logits:", out["tag_logits"].shape)       # [B, 44]

@@ -8,6 +8,14 @@ Works offline with random-init weights; pass --pretrained for real ones
 (e.g. laion400m_e32, or a local .pt / orbax checkpoint path).
 """
 import argparse
+import os
+
+# JAX_PLATFORMS=cpu alone does not stop TPU plugins that ignore the env var
+# (e.g. the axon plugin); the config route always works
+if os.environ.get("JAX_PLATFORMS", "").strip() == "cpu":
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
 
 import jax
 import jax.numpy as jnp
@@ -48,8 +56,9 @@ def main():
         img = np.random.default_rng(0).normal(size=(1, 224, 224, 3))
         img = img.astype(np.float32)
 
-    feats, _ = bundle.encode_image(jnp.asarray(img))   # L2-normalized [1, D]
-                                                       # (XTag 2-tuple return)
+    out = bundle.encode_image(jnp.asarray(img))        # L2-normalized [1, D]
+    # XTag CLIP returns (pooled, tokens); CoCa returns pooled only
+    feats = out[0] if isinstance(out, tuple) else out
     logits = 100.0 * feats @ classifier                # [1, C]
     probs = np.asarray(jax.nn.softmax(logits, axis=-1))[0]
     for name, p in sorted(zip(SCAR_CLASSNAMES, probs), key=lambda t: -t[1]):

@@ -52,6 +52,11 @@ def _atomic_put(self, key: str, val: bytes) -> None:
             try:
                 with os.fdopen(fd, "wb") as f:
                     f.write(val)
+                # mkstemp creates 0600; match write_bytes' umask-respecting
+                # mode so shared cache dirs stay readable across users
+                um = os.umask(0)
+                os.umask(um)
+                os.chmod(tmp, 0o666 & ~um)
                 os.replace(tmp, cache_path)  # atomic: all of it or nothing
             except BaseException:
                 try:
@@ -94,11 +99,16 @@ def enable_persistent_cache(cache_dir: str,
     """Point jax's persistent compile cache at cache_dir, crash-safely."""
     import jax
 
-    try:
-        jax.config.update("jax_compilation_cache_dir", cache_dir)
-        jax.config.update("jax_persistent_cache_min_compile_time_secs",
-                          min_compile_time_secs)
-        jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
-    except Exception:  # noqa: BLE001 — older jax without the knobs
-        return
+    # patch FIRST, and each knob independently: if the cache-dir knob takes
+    # but a tuning knob is missing (other jax versions), the cache must not
+    # end up enabled with the unsafe non-atomic writes
     patch_atomic_cache_writes()
+    for knob, val in (
+        ("jax_compilation_cache_dir", cache_dir),
+        ("jax_persistent_cache_min_compile_time_secs", min_compile_time_secs),
+        ("jax_persistent_cache_min_entry_size_bytes", 0),
+    ):
+        try:
+            jax.config.update(knob, val)
+        except Exception:  # noqa: BLE001 — jax without this knob
+            pass
