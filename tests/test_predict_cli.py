@@ -1,0 +1,92 @@
+"""Batch-prediction CLI (cli/predict.py): images in, JSONL out.
+
+No reference analogue (its eval paths need labeled datasets); this is the
+serving entry point. Covers: directory + CSV inputs, last-batch padding,
+tag output, fusion scoring, and the .npz feature dump.
+"""
+
+import json
+import os
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from xtagclip_tpu.cli.predict import main as predict_main
+
+pytestmark = pytest.mark.e2e
+
+
+@pytest.fixture(scope="module")
+def image_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("pred_imgs")
+    rng = np.random.default_rng(0)
+    for i in range(5):
+        Image.fromarray(
+            rng.integers(0, 255, size=(48, 48, 3), dtype=np.uint8)
+        ).save(d / f"im{i}.jpg")
+    return d
+
+
+TINY = ["--model", "test-tiny", "--precision", "fp32"]
+
+
+@pytest.fixture(scope="module", autouse=True)
+def tiny_config(tmp_path_factory):
+    import json as _json
+
+    from xtagclip_tpu.factory import add_model_config
+
+    cfg = dict(
+        embed_dim=64,
+        vision_cfg=dict(layers=2, width=64, head_width=32, patch_size=16,
+                        image_size=32),
+        text_cfg=dict(context_length=77, vocab_size=49408, width=64,
+                      heads=2, layers=2),
+    )
+    p = tmp_path_factory.mktemp("cfg") / "test-tiny.json"
+    p.write_text(_json.dumps(cfg))
+    add_model_config(str(p))
+
+
+def test_predict_directory_with_tags_and_embed(image_dir, tmp_path):
+    out = tmp_path / "preds.jsonl"
+    emb = tmp_path / "emb.npz"
+    predict_main(TINY + [
+        "--input", str(image_dir), "--use-tagging", "--batch-size", "4",
+        "--output", str(out), "--save-embed", str(emb),
+    ])
+    recs = [json.loads(l) for l in out.read_text().splitlines()]
+    assert len(recs) == 5  # 4 + padded last batch of 1
+    scar_classes = {"Others", "Hypertrophic scar", "Keloid scar"}
+    for r in recs:
+        assert r["class"] in scar_classes
+        assert abs(sum(r["probs"].values()) - 1.0) < 1e-2
+        assert len(r["tags"]) == 6  # one pick per attribute category
+    d = np.load(emb)
+    assert d["image_features"].shape == (5, 64)
+    assert d["image_features"].dtype == np.float32
+
+
+def test_predict_csv_fusion_scoring(image_dir, tmp_path, capsys):
+    csv = tmp_path / "in.csv"
+    csv.write_text("filepath,caption\n" + "\n".join(
+        f"{image_dir}/im{i}.jpg,x" for i in range(2)) + "\n")
+    predict_main(TINY + [
+        "--input", str(csv), "--fusion-scoring", "--batch-size", "2",
+        "--dataset", "pathmnist",
+    ])
+    lines = [l for l in capsys.readouterr().out.splitlines() if l.strip()]
+    recs = [json.loads(l) for l in lines]
+    assert len(recs) == 2
+    assert len(recs[0]["probs"]) == 9  # PathMNIST classes
+    assert "tags" not in recs[0]
+
+
+def test_predict_classname_override(image_dir, capsys):
+    predict_main(TINY + [
+        "--input", str(image_dir / "im0.jpg"),
+        "--classnames", "cat,dog", "--template", "a photo of a {}.",
+    ])
+    rec = json.loads(capsys.readouterr().out.splitlines()[0])
+    assert set(rec["probs"]) == {"cat", "dog"}

@@ -1,0 +1,201 @@
+"""Batch inference CLI: images in, class/tag predictions out (JSONL).
+
+The serving-side counterpart of the eval loops: the reference can only
+score images through its dataset-bound eval paths (zero_shot_other.py
+needs a labeled loader); this entry point classifies ad-hoc inputs — a
+directory, a CSV, or explicit files — with any registry model + checkpoint,
+using the same jitted forward as `train/zero_shot.py::run_scar_eval`
+(prompt-ensemble classifier, optional tag head, optional fusion-aware
+token scoring from the reference's train_other_simple.py:442-455).
+
+    python -m xtagclip_tpu.cli.predict \
+        --model ViT-B-32 --pretrained /path/ckpt.pt \
+        --input /dir/of/images --dataset scar --use-tagging \
+        --output predictions.jsonl
+
+One compiled program serves every batch: the last batch is zero-padded to
+the static batch size and the padding rows are dropped on host.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+import numpy as np
+
+
+def _parse_args(argv=None):
+    p = argparse.ArgumentParser("xtagclip_tpu prediction")
+    p.add_argument("--model", default="ViT-B-32")
+    p.add_argument("--pretrained", default=None,
+                   help="pretrained tag, local .pt/.npz, or hf-hub: id")
+    p.add_argument("--resume", default=None,
+                   help="checkpoint to load on top (orbax dir or .pt)")
+    p.add_argument("--input", nargs="+", required=True,
+                   help="image files, a directory, or a .csv")
+    p.add_argument("--csv-img-key", default="filepath")
+    p.add_argument("--dataset", default="scar",
+                   choices=("scar", "pathmnist", "medicalmnist", "imagenet"),
+                   help="class-name/template set for the zero-shot head")
+    p.add_argument("--classnames", default=None,
+                   help="comma-separated override of --dataset class names")
+    p.add_argument("--template", default=None,
+                   help="prompt template override, e.g. 'a photo of {}.'")
+    p.add_argument("--use-tagging", action="store_true",
+                   help="emit the 6 per-category tag picks (XTag head)")
+    p.add_argument("--fusion-scoring", action="store_true",
+                   help="token-mix similarity (train_other_simple.py:442-455)")
+    p.add_argument("--batch-size", type=int, default=32)
+    p.add_argument("--precision", default="bf16")
+    p.add_argument("--output", default="-",
+                   help="JSONL path ('-' = stdout)")
+    p.add_argument("--save-embed", default=None,
+                   help="optional .npz with fp32 image features")
+    return p.parse_args(argv)
+
+
+def _list_inputs(args):
+    names = []
+    for item in args.input:
+        if os.path.isdir(item):
+            exts = (".jpg", ".jpeg", ".png", ".bmp", ".webp", ".tif",
+                    ".tiff", ".ppm", ".pgm")
+            names.extend(
+                os.path.join(item, n) for n in sorted(os.listdir(item))
+                if n.lower().endswith(exts))
+        elif item.lower().endswith(".csv"):
+            import csv
+
+            with open(item, newline="") as f:
+                for row in csv.DictReader(f):
+                    names.append(row[args.csv_img_key])
+        else:
+            names.append(item)
+    if not names:
+        raise SystemExit("predict: no input images found")
+    return names
+
+
+def _class_meta(args):
+    from xtagclip_tpu.train import metadata as M
+
+    table = {
+        "scar": (M.SCAR_CLASSNAMES, M.SIMPLE_SCAR_TEMPLATES),
+        "pathmnist": (M.PATHMNIST_CLASSNAMES, M.SIMPLE_MEDICALMNIST_TEMPLATES),
+        "medicalmnist": (M.MEDICALMNIST_CLASSNAMES,
+                         M.SIMPLE_MEDICALMNIST_TEMPLATES),
+        "imagenet": (M.IMAGENET_CLASSNAMES, M.OPENAI_IMAGENET_TEMPLATES),
+    }
+    classnames, templates = table[args.dataset]
+    if args.classnames:
+        classnames = [c.strip() for c in args.classnames.split(",")]
+    if args.template:
+        templates = [args.template]
+    return list(classnames), list(templates)
+
+
+def main(argv=None):
+    args = _parse_args(argv)
+
+    import jax
+    import jax.numpy as jnp
+
+    from xtagclip_tpu.factory import (
+        create_model_and_transforms,
+        get_tokenizer,
+        load_checkpoint,
+    )
+    from xtagclip_tpu.train.zero_shot import build_zero_shot_classifier
+    from xtagclip_tpu.utils.assets import read_tag_list
+
+    names = _list_inputs(args)
+    classnames, templates = _class_meta(args)
+
+    kw = {"pretrained": args.pretrained} if args.pretrained else {}
+    bundle, _, preprocess = create_model_and_transforms(
+        args.model, precision=args.precision,
+        use_tagging=args.use_tagging, **kw)
+    if args.resume:
+        load_checkpoint(bundle, args.resume)
+    tokenizer = get_tokenizer(args.model)
+
+    classifier = build_zero_shot_classifier(
+        bundle.module, bundle.params, tokenizer,
+        classnames=classnames, templates=templates)
+
+    tag_list = read_tag_list()
+    module = bundle.module
+
+    def _l2(x):
+        return x / jnp.maximum(
+            jnp.linalg.norm(x, axis=-1, keepdims=True), 1e-12)
+
+    @jax.jit
+    def forward(params, images, w):
+        variables = {"params": params, **(bundle.extra_variables or {})}
+        img_feat, tokens = module.apply(
+            variables, images, True, method=module.encode_image)
+        if args.fusion_scoring:
+            g_sim = _l2(tokens.mean(axis=1)) @ w
+            l_sim = (_l2(tokens) @ w).mean(axis=1)
+            logits = 100.0 * (g_sim + l_sim) / 2.0
+        else:
+            logits = 100.0 * img_feat @ w
+        tag_global = None
+        if args.use_tagging:
+            tag_logits = module.apply(
+                variables, tokens, method=module.tag_forward)
+            _, tag_global = module.apply(
+                variables, tag_logits,
+                method=lambda m, x: m.prepare_tag_indices(x))
+        return img_feat, logits, tag_global
+
+    from PIL import Image
+
+    out = sys.stdout if args.output == "-" else open(args.output, "w")
+    bs = args.batch_size
+    all_feats = [] if args.save_embed else None
+    for start in range(0, len(names), bs):
+        chunk = names[start:start + bs]
+        imgs = np.stack([
+            np.asarray(preprocess(Image.open(n).convert("RGB")))
+            for n in chunk])
+        if len(chunk) < bs:  # static shapes: pad, then drop on host
+            pad = np.zeros((bs - len(chunk),) + imgs.shape[1:], imgs.dtype)
+            imgs = np.concatenate([imgs, pad])
+        feats, logits, tag_global = forward(
+            bundle.params, jnp.asarray(imgs), classifier)
+        logits = np.asarray(logits, np.float32)[:len(chunk)]
+        probs = np.exp(logits - logits.max(-1, keepdims=True))
+        probs /= probs.sum(-1, keepdims=True)
+        if all_feats is not None:
+            all_feats.append(
+                np.asarray(feats, np.float32)[:len(chunk)])
+        tags = None
+        if tag_global is not None:
+            tags = np.asarray(tag_global)[:len(chunk)]
+        for j, name in enumerate(chunk):
+            rec = {
+                "image": name,
+                "class": classnames[int(logits[j].argmax())],
+                "probs": {c: round(float(p), 4)
+                          for c, p in zip(classnames, probs[j])},
+            }
+            if tags is not None:
+                rec["tags"] = [tag_list[t] for t in tags[j]]
+            out.write(json.dumps(rec) + "\n")
+    if out is not sys.stdout:
+        out.close()
+        print(f"wrote {args.output} ({len(names)} predictions)")
+    if all_feats is not None:
+        np.savez(args.save_embed,
+                 image_features=np.concatenate(all_feats),
+                 image_names=np.array(names))
+        print(f"wrote {args.save_embed}")
+
+
+if __name__ == "__main__":
+    main()
