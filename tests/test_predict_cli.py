@@ -90,3 +90,30 @@ def test_predict_classname_override(image_dir, capsys):
     ])
     rec = json.loads(capsys.readouterr().out.splitlines()[0])
     assert set(rec["probs"]) == {"cat", "dog"}
+
+
+def test_train_checkpoint_predict_roundtrip(image_dir, tmp_path, capsys):
+    """Lifecycle: main_other trains on synthetic data -> orbax checkpoint ->
+    predict --resume serves it. Proves our own checkpoints feed the serving
+    entry point, not just converted torch ones."""
+    from xtagclip_tpu.cli import main_other
+
+    main_other.main([
+        "--model", "test-tiny",
+        "--dataset-type", "synthetic",
+        "--train-num-samples", "8",
+        "--batch-size", "4", "--epochs", "1", "--warmup", "1",
+        "--precision", "fp32", "--lr", "1e-4",
+        "--logs", str(tmp_path / "logs"), "--name", "lifecycle",
+        "--val-frequency", "0", "--workers", "1",
+    ])
+    ckpt = tmp_path / "logs" / "lifecycle" / "checkpoints" / "last"
+    assert ckpt.is_dir()
+
+    predict_main(TINY + [
+        "--input", str(image_dir / "im0.jpg"),
+        "--resume", str(ckpt),
+        "--classnames", "cat,dog",
+    ])
+    rec = json.loads(capsys.readouterr().out.splitlines()[0])
+    assert set(rec["probs"]) == {"cat", "dog"}
