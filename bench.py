@@ -394,6 +394,49 @@ def main():
         except Exception as e:  # noqa: BLE001
             xtag_full_imgs_per_s = f"unavailable: {type(e).__name__}"
 
+    # XTag SERVING path: same pipeline with the per-image text tower replaced
+    # by the precomputed [C, K, D] prompt-feature gather (serving.py) — the
+    # prompt space is finite, so a fixed checkpoint embeds it once. Fusion
+    # scores all C classes per image ([B, C]). Equivalence to the full path
+    # is pinned by tests/test_serving.py; this measures the speedup.
+    xtag_serve_imgs_per_s = None
+    if not over_budget() and isinstance(xtag_full_imgs_per_s, float):
+        try:
+            from xtagclip_tpu.models.clip import combo_index
+
+            # random [C, K, D] prompt-feature table: gather cost is what's
+            # being measured, the values don't matter for throughput
+            tbl_g = jax.device_put(jnp.asarray(rng.standard_normal(
+                (3, int(table.shape[2]), 512)).astype(np.float32)), dev)
+
+            def _serve(m, imgs):
+                _, tokens = m.encode_image(imgs, normalize=True,
+                                           deterministic=True)
+                tl = m.tag_forward(tokens, deterministic=True)
+                tag_local, _ = m.prepare_tag_indices(tl)
+                q = jnp.swapaxes(tbl_g[:, combo_index(tag_local)], 0, 1)
+                mem = jnp.concatenate(
+                    [tokens.mean(axis=1)[:, None], tokens], axis=1)
+                return m.fusion_model(mem, q, deterministic=True)[..., 0]
+
+            def schained(p, images_u8):
+                def body(carry, _):
+                    x = normalize_images(images_u8, dtype=jnp.bfloat16) \
+                        + carry.astype(jnp.bfloat16) * 1e-9
+                    i2t = xb.module.apply({"params": p}, x, method=_serve)
+                    return i2t.sum().astype(jnp.float32), i2t.sum()
+                _, outs = jax.lax.scan(body, jnp.float32(0), jnp.arange(8))
+                return outs
+
+            sfn = jax.jit(schained)
+            np.asarray(sfn(xparams, x_dev))  # warm
+            t0 = time.perf_counter()
+            np.asarray(sfn(xparams, x_dev))
+            xtag_serve_imgs_per_s = round(
+                batch * 8 / (time.perf_counter() - t0), 1)
+        except Exception as e:  # noqa: BLE001
+            xtag_serve_imgs_per_s = f"unavailable: {type(e).__name__}"
+
     # host JPEG-decode rate (the data plane the device pipeline number
     # excludes): native threaded libjpeg decode+resize+crop to 224.
     # JPEG decode is host-bound on this 1-core box — reported separately so
@@ -439,6 +482,7 @@ def main():
         "p50_classify_latency_ms": p50_ms,
         "large_tower": large_tower or None,
         "xtag_full_forward_imgs_per_sec": xtag_full_imgs_per_s,
+        "xtag_serve_imgs_per_sec": xtag_serve_imgs_per_s,
         "pipeline_samples_per_sec_host": pipeline_samples_per_s,
         "h2d_bandwidth_MBps": round(h2d_mbps, 0),
         "device": str(dev),

@@ -44,9 +44,14 @@ def tiny_config(tmp_path_factory):
         text_cfg=dict(context_length=77, vocab_size=49408, width=64,
                       heads=2, layers=2),
     )
-    p = tmp_path_factory.mktemp("cfg") / "test-tiny.json"
+    d = tmp_path_factory.mktemp("cfg")
+    p = d / "test-tiny.json"
     p.write_text(_json.dumps(cfg))
     add_model_config(str(p))
+    fcfg = dict(cfg, fusion_dim=64)
+    fp = d / "test-tiny-fusion.json"
+    fp.write_text(_json.dumps(fcfg))
+    add_model_config(str(fp))
 
 
 def test_predict_directory_with_tags_and_embed(image_dir, tmp_path):
@@ -117,3 +122,19 @@ def test_train_checkpoint_predict_roundtrip(image_dir, tmp_path, capsys):
     ])
     rec = json.loads(capsys.readouterr().out.splitlines()[0])
     assert set(rec["probs"]) == {"cat", "dog"}
+
+
+def test_predict_fusion_classify(image_dir, tmp_path):
+    """--fusion-classify: precomputed pseudo-prompt space + TQN scoring
+    (serving.py) as the class decision."""
+    out = tmp_path / "fpreds.jsonl"
+    predict_main([
+        "--model", "test-tiny-fusion", "--precision", "fp32",
+        "--input", str(image_dir), "--fusion-classify",
+        "--batch-size", "4", "--output", str(out),
+    ])
+    recs = [json.loads(l) for l in out.read_text().splitlines()]
+    assert len(recs) == 5
+    for r in recs:
+        assert r["class"] in {"Others", "Hypertrophic scar", "Keloid scar"}
+        assert len(r["tags"]) == 6

@@ -48,6 +48,12 @@ def _parse_args(argv=None):
                    help="emit the 6 per-category tag picks (XTag head)")
     p.add_argument("--fusion-scoring", action="store_true",
                    help="token-mix similarity (train_other_simple.py:442-455)")
+    p.add_argument("--fusion-classify", action="store_true",
+                   help="classify via TQN fusion over the precomputed "
+                        "pseudo-prompt space (serving.py; implies "
+                        "--use-tagging)")
+    p.add_argument("--prompt-template-setting", default="sentence_1",
+                   help="template for --fusion-classify")
     p.add_argument("--batch-size", type=int, default=32)
     p.add_argument("--precision", default="bf16")
     p.add_argument("--output", default="-",
@@ -114,13 +120,29 @@ def main(argv=None):
     names = _list_inputs(args)
     classnames, templates = _class_meta(args)
 
+    if args.fusion_classify:
+        args.use_tagging = True
     kw = {"pretrained": args.pretrained} if args.pretrained else {}
     bundle, _, preprocess = create_model_and_transforms(
         args.model, precision=args.precision,
-        use_tagging=args.use_tagging, **kw)
+        use_tagging=args.use_tagging, use_fusion=args.fusion_classify, **kw)
     if args.resume:
         load_checkpoint(bundle, args.resume)
     tokenizer = get_tokenizer(args.model)
+
+    serve = None
+    if args.fusion_classify:
+        from xtagclip_tpu.serving import (
+            make_xtag_serve_step,
+            precompute_prompt_features,
+        )
+        from xtagclip_tpu.tokenize.prompts import TEMPLATE_ORDER, PromptTable
+
+        tid = TEMPLATE_ORDER.index(args.prompt_template_setting)
+        ptable = PromptTable(classnames, tokenizer=tokenizer).table
+        feats_table = precompute_prompt_features(bundle, ptable,
+                                                 template_id=tid)
+        serve = make_xtag_serve_step(bundle, feats_table)
 
     classifier = build_zero_shot_classifier(
         bundle.module, bundle.params, tokenizer,
@@ -166,8 +188,12 @@ def main(argv=None):
         if len(chunk) < bs:  # static shapes: pad, then drop on host
             pad = np.zeros((bs - len(chunk),) + imgs.shape[1:], imgs.dtype)
             imgs = np.concatenate([imgs, pad])
-        feats, logits, tag_global = forward(
-            bundle.params, jnp.asarray(imgs), classifier)
+        if serve is not None:
+            feats, tag_global, logits = serve(bundle.params,
+                                              jnp.asarray(imgs))
+        else:
+            feats, logits, tag_global = forward(
+                bundle.params, jnp.asarray(imgs), classifier)
         logits = np.asarray(logits, np.float32)[:len(chunk)]
         probs = np.exp(logits - logits.max(-1, keepdims=True))
         probs /= probs.sum(-1, keepdims=True)
