@@ -130,3 +130,34 @@ def test_fsdp_swaps_allreduce_for_allgather(setup):
     # ...and their parameters are gathered for compute instead
     assert resharded > 0.3 * P, (
         f"FSDP gather/reshard traffic {resharded/1e6:.1f} MB too small")
+
+
+def test_tp_mesh_emits_both_axis_collectives(setup):
+    """data x model (4x2) mesh: tensor-parallel activation collectives ride
+    the model axis (groups [4,2]<=[8]: pairs sharing a data index) while the
+    gradient all-reduce rides the data axis (groups [2,4]<=[4,2]T(1,0))."""
+    bundle, table, batch, P = setup
+    mesh = create_mesh(data_parallel=4, model_parallel=2)
+    assert dict(mesh.shape) == {"data": 4, "model": 2}
+    params = shard_params(bundle.params, mesh, fsdp=False)
+    tx = make_optimizer(cosine_lr(1e-3, 2, 10), params=params,
+                        weight_decay=0.1)
+    state = create_train_state(params, tx)
+    sb = shard_batch(batch, mesh)
+    step = make_train_step(bundle.module, tx, {"use_tagging_loss": True},
+                           prompt_table=table, donate=False)
+    with jax.sharding.use_mesh(mesh) if hasattr(jax.sharding, "use_mesh") \
+            else mesh:
+        hlo = jax.jit(lambda s, b, r: step(s, b, r)).lower(
+            state, sb, jax.random.PRNGKey(0)).compile().as_text()
+
+    model_axis = re.findall(
+        r"(all-reduce|all-gather|all-to-all)(?:-start)?\([^;]*?"
+        r"replica_groups=\[4,2\]<=\[8\]", hlo)
+    data_axis = re.findall(
+        r"(all-reduce|all-gather|all-to-all)(?:-start)?\([^;]*?"
+        r"replica_groups=\[2,4\]<=\[4,2\]T\(1,0\)", hlo)
+    assert len(model_axis) > 10, (
+        f"expected tensor-parallel model-axis collectives, got {model_axis}")
+    assert "all-reduce" in data_axis, (
+        f"gradient all-reduce over the data axis missing: {data_axis}")
