@@ -58,8 +58,10 @@ def main():
             for n in names])
     else:
         names = [f"synthetic_{i}" for i in range(args.batch_size)]
+        sz = bundle.model_cfg["vision_cfg"].get("image_size", 224)
+        h, w = (sz, sz) if isinstance(sz, int) else sz
         imgs = np.random.default_rng(0).normal(
-            size=(args.batch_size, 224, 224, 3)).astype(np.float32)
+            size=(args.batch_size, h, w, 3)).astype(np.float32)
 
     img_feats = []
     for i in range(0, len(imgs), args.batch_size):

@@ -48,8 +48,10 @@ def main():
     print(f"prompt table: {table.shape} ({num_combos()} tag combos)")
 
     B = args.batch_size
+    sz = bundle.model_cfg["vision_cfg"].get("image_size", 224)
+    h, w = (sz, sz) if isinstance(sz, int) else sz
     imgs = jnp.asarray(np.random.default_rng(0).normal(
-        size=(B, 224, 224, 3)).astype(np.float32))
+        size=(B, h, w, 3)).astype(np.float32))
     class_ids = jnp.zeros((B,), jnp.int32)  # scored against class 0's prompts
 
     @jax.jit

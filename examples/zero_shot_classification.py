@@ -52,8 +52,10 @@ def main():
         from PIL import Image
         img = np.asarray(preprocess(Image.open(args.image).convert("RGB")))
         img = img[None]
-    else:  # synthetic smoke input
-        img = np.random.default_rng(0).normal(size=(1, 224, 224, 3))
+    else:  # synthetic smoke input at the model's native resolution
+        sz = bundle.model_cfg["vision_cfg"].get("image_size", 224)
+        h, w = (sz, sz) if isinstance(sz, int) else sz
+        img = np.random.default_rng(0).normal(size=(1, h, w, 3))
         img = img.astype(np.float32)
 
     out = bundle.encode_image(jnp.asarray(img))        # L2-normalized [1, D]

@@ -13,6 +13,7 @@ model_configs/*.json, validated for {embed_dim, vision_cfg, text_cfg}).
 from __future__ import annotations
 
 import json
+import os
 import re
 from dataclasses import dataclass, field
 from functools import partial
@@ -39,17 +40,24 @@ def _natural_key(s: str):
 
 def _rescan_model_configs():
     global _MODEL_CONFIGS
-    cfg_dir = asset_path("model_configs")
+    # user config dirs via XTAGCLIP_EXTRA_CONFIGS (colon-separated), scanned
+    # after the builtin assets so out-of-tree JSONs can extend — or
+    # deliberately override — the zoo without touching the package
+    # (reference users drop files into src/open_clip/model_configs/ instead)
+    dirs = [asset_path("model_configs")]
+    dirs += [d for d in os.environ.get(
+        "XTAGCLIP_EXTRA_CONFIGS", "").split(os.pathsep) if d]
     configs = {}
-    for f in Path(cfg_dir).glob("*.json"):
-        with open(f) as fh:
-            cfg = json.load(fh)
-        if "model_cfg" in cfg:  # nested schema (e.g. BiomedCLIP hub config)
-            flat = dict(cfg["model_cfg"])
-            flat["preprocess_cfg"] = cfg.get("preprocess_cfg", {})
-            cfg = flat
-        if all(k in cfg for k in ("embed_dim", "vision_cfg", "text_cfg")):
-            configs[f.stem] = cfg
+    for cfg_dir in dirs:
+        for f in sorted(Path(cfg_dir).glob("*.json")):
+            with open(f) as fh:
+                cfg = json.load(fh)
+            if "model_cfg" in cfg:  # nested schema (e.g. BiomedCLIP hub cfg)
+                flat = dict(cfg["model_cfg"])
+                flat["preprocess_cfg"] = cfg.get("preprocess_cfg", {})
+                cfg = flat
+            if all(k in cfg for k in ("embed_dim", "vision_cfg", "text_cfg")):
+                configs[f.stem] = cfg
     global _BUILTIN_NAMES
     _MODEL_CONFIGS = {
         k: configs[k] for k in sorted(configs, key=_natural_key)
