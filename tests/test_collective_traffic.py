@@ -18,7 +18,6 @@ Notes pinned by exploration (XLA:CPU, 8-device mesh):
 import json
 import os
 import re
-import tempfile
 
 import numpy as np
 import pytest
@@ -70,13 +69,11 @@ def collective_bytes(hlo: str) -> dict:
 
 
 @pytest.fixture(scope="module")
-def setup():
-    with tempfile.NamedTemporaryFile("w", suffix=".json", prefix="colltr-",
-                                     delete=False) as f:
-        json.dump(CFG, f)
-        path = f.name
-    add_model_config(path)
-    bundle = create_model(os.path.basename(path)[:-5], use_tagging=True)
+def setup(tmp_path_factory):
+    path = tmp_path_factory.mktemp("cfg") / "colltr-tiny.json"
+    path.write_text(json.dumps(CFG))
+    add_model_config(str(path))
+    bundle = create_model(path.stem, use_tagging=True)
     rng = np.random.default_rng(0)
     table = jnp.asarray(
         rng.integers(1, 1000, size=(1, 3, num_combos(), 16)).astype(np.int32))

@@ -9,7 +9,6 @@ uses image j's own tag combo, so full i2t[i, i] == serve[i, c]).
 
 import json
 import os
-import tempfile
 
 import numpy as np
 import pytest
@@ -34,14 +33,11 @@ CFG = dict(
 
 
 @pytest.fixture(scope="module")
-def bundle():
-    with tempfile.NamedTemporaryFile("w", suffix=".json", prefix="tinyserve-",
-                                     delete=False) as f:
-        json.dump(CFG, f)
-        path = f.name
-    add_model_config(path)
-    return create_model(os.path.basename(path)[:-5], use_tagging=True,
-                        use_fusion=True)
+def bundle(tmp_path_factory):
+    path = tmp_path_factory.mktemp("cfg") / "tinyserve.json"
+    path.write_text(json.dumps(CFG))
+    add_model_config(str(path))
+    return create_model(path.stem, use_tagging=True, use_fusion=True)
 
 
 @pytest.fixture(scope="module")
@@ -93,12 +89,10 @@ def test_precompute_padding_boundary(bundle, prompt_table):
         np.asarray(t_small), np.asarray(t_big), rtol=1e-5, atol=1e-5)
 
 
-def test_serve_requires_fusion_model():
-    with tempfile.NamedTemporaryFile("w", suffix=".json",
-                                     prefix="tinyserve2-", delete=False) as f:
-        json.dump(CFG, f)
-        path = f.name
-    add_model_config(path)
-    b = create_model(os.path.basename(path)[:-5])  # no fusion
+def test_serve_requires_fusion_model(tmp_path):
+    path = tmp_path / "tinyserve2.json"
+    path.write_text(json.dumps(CFG))
+    add_model_config(str(path))
+    b = create_model(path.stem)  # no fusion
     with pytest.raises(ValueError, match="use_fusion"):
         make_xtag_serve_step(b, jnp.zeros((3, num_combos(), 64)))

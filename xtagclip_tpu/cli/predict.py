@@ -76,7 +76,12 @@ def _list_inputs(args):
             import csv
 
             with open(item, newline="") as f:
-                for row in csv.DictReader(f):
+                for i, row in enumerate(csv.DictReader(f)):
+                    if args.csv_img_key not in row:
+                        raise SystemExit(
+                            f"predict: {item} row {i + 1} has no "
+                            f"'{args.csv_img_key}' column (columns: "
+                            f"{sorted(row)}); set --csv-img-key")
                     names.append(row[args.csv_img_key])
         else:
             names.append(item)
@@ -136,85 +141,74 @@ def main(argv=None):
             make_xtag_serve_step,
             precompute_prompt_features,
         )
-        from xtagclip_tpu.tokenize.prompts import TEMPLATE_ORDER, PromptTable
+        from xtagclip_tpu.tokenize.prompts import PromptTable
 
-        tid = TEMPLATE_ORDER.index(args.prompt_template_setting)
-        ptable = PromptTable(classnames, tokenizer=tokenizer).table
+        # build + embed only the requested template's prompt rows
+        ptable = PromptTable(classnames, tokenizer=tokenizer,
+                             templates=[args.prompt_template_setting]).table
         feats_table = precompute_prompt_features(bundle, ptable,
-                                                 template_id=tid)
+                                                 template_id=0)
         serve = make_xtag_serve_step(bundle, feats_table)
 
-    classifier = build_zero_shot_classifier(
-        bundle.module, bundle.params, tokenizer,
-        classnames=classnames, templates=templates)
+    classifier = None
+    forward = None
+    if serve is None:
+        from xtagclip_tpu.train.zero_shot import make_eval_forward
+
+        # the zero-shot [D, C] head is dead weight under --fusion-classify
+        classifier = build_zero_shot_classifier(
+            bundle.module, bundle.params, tokenizer,
+            classnames=classnames, templates=templates)
+        forward = make_eval_forward(  # shared with run_scar_eval
+            bundle.module, fusion_scoring=args.fusion_scoring,
+            extra_vars=bundle.extra_variables)
 
     tag_list = read_tag_list()
-    module = bundle.module
-
-    def _l2(x):
-        return x / jnp.maximum(
-            jnp.linalg.norm(x, axis=-1, keepdims=True), 1e-12)
-
-    @jax.jit
-    def forward(params, images, w):
-        variables = {"params": params, **(bundle.extra_variables or {})}
-        img_feat, tokens = module.apply(
-            variables, images, True, method=module.encode_image)
-        if args.fusion_scoring:
-            g_sim = _l2(tokens.mean(axis=1)) @ w
-            l_sim = (_l2(tokens) @ w).mean(axis=1)
-            logits = 100.0 * (g_sim + l_sim) / 2.0
-        else:
-            logits = 100.0 * img_feat @ w
-        tag_global = None
-        if args.use_tagging:
-            tag_logits = module.apply(
-                variables, tokens, method=module.tag_forward)
-            _, tag_global = module.apply(
-                variables, tag_logits,
-                method=lambda m, x: m.prepare_tag_indices(x))
-        return img_feat, logits, tag_global
 
     from PIL import Image
 
     out = sys.stdout if args.output == "-" else open(args.output, "w")
     bs = args.batch_size
     all_feats = [] if args.save_embed else None
-    for start in range(0, len(names), bs):
-        chunk = names[start:start + bs]
-        imgs = np.stack([
-            np.asarray(preprocess(Image.open(n).convert("RGB")))
-            for n in chunk])
-        if len(chunk) < bs:  # static shapes: pad, then drop on host
-            pad = np.zeros((bs - len(chunk),) + imgs.shape[1:], imgs.dtype)
-            imgs = np.concatenate([imgs, pad])
-        if serve is not None:
-            feats, tag_global, logits = serve(bundle.params,
-                                              jnp.asarray(imgs))
-        else:
-            feats, logits, tag_global = forward(
-                bundle.params, jnp.asarray(imgs), classifier)
-        logits = np.asarray(logits, np.float32)[:len(chunk)]
-        probs = np.exp(logits - logits.max(-1, keepdims=True))
-        probs /= probs.sum(-1, keepdims=True)
-        if all_feats is not None:
-            all_feats.append(
-                np.asarray(feats, np.float32)[:len(chunk)])
-        tags = None
-        if tag_global is not None:
-            tags = np.asarray(tag_global)[:len(chunk)]
-        for j, name in enumerate(chunk):
-            rec = {
-                "image": name,
-                "class": classnames[int(logits[j].argmax())],
-                "probs": {c: round(float(p), 4)
-                          for c, p in zip(classnames, probs[j])},
-            }
-            if tags is not None:
-                rec["tags"] = [tag_list[t] for t in tags[j]]
-            out.write(json.dumps(rec) + "\n")
+    try:
+        for start in range(0, len(names), bs):
+            chunk = names[start:start + bs]
+            imgs = np.stack([
+                np.asarray(preprocess(Image.open(n).convert("RGB")))
+                for n in chunk])
+            if len(chunk) < bs:  # static shapes: pad, then drop on host
+                pad = np.zeros((bs - len(chunk),) + imgs.shape[1:],
+                               imgs.dtype)
+                imgs = np.concatenate([imgs, pad])
+            if serve is not None:
+                feats, tag_global, logits = serve(bundle.params,
+                                                  jnp.asarray(imgs))
+            else:
+                feats, logits, tag_global = forward(
+                    bundle.params, jnp.asarray(imgs), classifier)
+            logits = np.asarray(logits, np.float32)[:len(chunk)]
+            probs = np.exp(logits - logits.max(-1, keepdims=True))
+            probs /= probs.sum(-1, keepdims=True)
+            if all_feats is not None:
+                all_feats.append(
+                    np.asarray(feats, np.float32)[:len(chunk)])
+            tags = None
+            if args.use_tagging:
+                tags = np.asarray(tag_global)[:len(chunk)]
+            for j, name in enumerate(chunk):
+                rec = {
+                    "image": name,
+                    "class": classnames[int(logits[j].argmax())],
+                    "probs": {c: round(float(p), 4)
+                              for c, p in zip(classnames, probs[j])},
+                }
+                if tags is not None:
+                    rec["tags"] = [tag_list[t] for t in tags[j]]
+                out.write(json.dumps(rec) + "\n")
+    finally:
+        if out is not sys.stdout:
+            out.close()
     if out is not sys.stdout:
-        out.close()
         print(f"wrote {args.output} ({len(names)} predictions)")
     if all_feats is not None:
         np.savez(args.save_embed,

@@ -15,6 +15,7 @@ from __future__ import annotations
 import json
 import os
 import re
+import warnings
 from dataclasses import dataclass, field
 from functools import partial
 from pathlib import Path
@@ -38,31 +39,42 @@ def _natural_key(s: str):
     return [int(t) if t.isdigit() else t for t in re.split(r"(\d+)", s.lower())]
 
 
+def _scan_config_dir(cfg_dir, configs, strict):
+    for f in sorted(Path(cfg_dir).glob("*.json")):
+        try:
+            with open(f) as fh:
+                cfg = json.load(fh)
+        except (OSError, ValueError) as e:
+            if strict:
+                raise
+            # user dirs must not break `import xtagclip_tpu` for every
+            # entry point over one malformed file
+            warnings.warn(f"XTAGCLIP_EXTRA_CONFIGS: skipping {f}: {e}")
+            continue
+        if "model_cfg" in cfg:  # nested schema (e.g. BiomedCLIP hub cfg)
+            flat = dict(cfg["model_cfg"])
+            flat["preprocess_cfg"] = cfg.get("preprocess_cfg", {})
+            cfg = flat
+        if all(k in cfg for k in ("embed_dim", "vision_cfg", "text_cfg")):
+            configs[f.stem] = cfg
+
+
 def _rescan_model_configs():
-    global _MODEL_CONFIGS
-    # user config dirs via XTAGCLIP_EXTRA_CONFIGS (colon-separated), scanned
+    global _MODEL_CONFIGS, _BUILTIN_NAMES
+    configs = {}
+    _scan_config_dir(asset_path("model_configs"), configs, strict=True)
+    builtin = tuple(sorted(configs, key=_natural_key))
+    # user config dirs via XTAGCLIP_EXTRA_CONFIGS (':'-separated), scanned
     # after the builtin assets so out-of-tree JSONs can extend — or
     # deliberately override — the zoo without touching the package
     # (reference users drop files into src/open_clip/model_configs/ instead)
-    dirs = [asset_path("model_configs")]
-    dirs += [d for d in os.environ.get(
-        "XTAGCLIP_EXTRA_CONFIGS", "").split(os.pathsep) if d]
-    configs = {}
-    for cfg_dir in dirs:
-        for f in sorted(Path(cfg_dir).glob("*.json")):
-            with open(f) as fh:
-                cfg = json.load(fh)
-            if "model_cfg" in cfg:  # nested schema (e.g. BiomedCLIP hub cfg)
-                flat = dict(cfg["model_cfg"])
-                flat["preprocess_cfg"] = cfg.get("preprocess_cfg", {})
-                cfg = flat
-            if all(k in cfg for k in ("embed_dim", "vision_cfg", "text_cfg")):
-                configs[f.stem] = cfg
-    global _BUILTIN_NAMES
+    for d in os.environ.get("XTAGCLIP_EXTRA_CONFIGS", "").split(":"):
+        if d:
+            _scan_config_dir(d, configs, strict=False)
     _MODEL_CONFIGS = {
         k: configs[k] for k in sorted(configs, key=_natural_key)
     }
-    _BUILTIN_NAMES = tuple(_MODEL_CONFIGS)
+    _BUILTIN_NAMES = builtin
 
 
 _rescan_model_configs()

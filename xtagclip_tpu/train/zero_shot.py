@@ -91,6 +91,43 @@ def _pick_classnames_templates(data_key: str):
     return metadata.IMAGENET_CLASSNAMES, metadata.OPENAI_IMAGENET_TEMPLATES
 
 
+def make_eval_forward(module, fusion_scoring: bool = False, extra_vars=None):
+    """The jitted eval/serving forward shared by run_scar_eval and
+    cli.predict: encode_image -> tag head -> zero-shot logits (100*img@W) or
+    the fusion-aware token-mix similarity (train_other_simple.py:442-455).
+
+    Returns fn(params, images, classifier[D, C]) ->
+    (img_feat, logits, tag_global)."""
+    extra = dict(extra_vars or {})
+
+    def _l2(x):
+        return x / jnp.maximum(jnp.linalg.norm(x, axis=-1, keepdims=True),
+                               1e-12)
+
+    @jax.jit
+    def forward(params, images, classifier):
+        variables = {**as_variables(params), **extra}
+        img_feat, tokens = module.apply(
+            variables, images, True, method=module.encode_image
+        )
+        tag_logits = module.apply(
+            variables, tokens, method=module.tag_forward
+        )
+        _, tag_global = module.apply(
+            variables, tag_logits,
+            method=lambda m, x: m.prepare_tag_indices(x),
+        )
+        if fusion_scoring:
+            g_sim = _l2(tokens.mean(axis=1)) @ classifier
+            l_sim = (_l2(tokens) @ classifier).mean(axis=1)
+            logits = 100.0 * (g_sim + l_sim) / 2.0
+        else:
+            logits = 100.0 * img_feat @ classifier
+        return img_feat, logits, tag_global
+
+    return forward
+
+
 def run_scar_eval(
     module,
     params,
@@ -118,30 +155,10 @@ def run_scar_eval(
     reference's sklearn-on-CPU path.
     """
     tag_list = read_tag_list()
+    _fwd = make_eval_forward(module, fusion_scoring=fusion_scoring)
 
-    def _l2(x):
-        return x / jnp.maximum(jnp.linalg.norm(x, axis=-1, keepdims=True),
-                               1e-12)
-
-    @jax.jit
     def forward(params, images):
-        img_feat, tokens = module.apply(
-            as_variables(params), images, True, method=module.encode_image
-        )
-        tag_logits = module.apply(
-            as_variables(params), tokens, method=module.tag_forward
-        )
-        _, tag_global = module.apply(
-            as_variables(params), tag_logits,
-            method=lambda m, x: m.prepare_tag_indices(x),
-        )
-        if fusion_scoring:
-            g_sim = _l2(tokens.mean(axis=1)) @ classifier
-            l_sim = (_l2(tokens) @ classifier).mean(axis=1)
-            logits = 100.0 * (g_sim + l_sim) / 2.0
-        else:
-            logits = 100.0 * img_feat @ classifier
-        return img_feat, logits, tag_global
+        return _fwd(params, images, classifier)
 
     n = 0
     top1 = top2 = 0.0
