@@ -151,6 +151,46 @@ def test_end_to_end_logits_parity_fullscale(pair, rng):
     np.testing.assert_allclose(logits, ref_logits, atol=1e-3)
 
 
+def test_zero_shot_classifier_builder_parity(pair):
+    """The full classifier-build pipeline (reference
+    zero_shot_classifier.py:21-68): template rendering (their callables vs our
+    '{}' format strings), encode, mean-over-templates, re-normalize, class
+    batching/concat — [D, C] weights must agree within the 1e-3 bar."""
+    import torch
+
+    from xtagclip_tpu.factory import get_tokenizer
+    from xtagclip_tpu.train import metadata
+    from xtagclip_tpu.train.zero_shot import build_zero_shot_classifier
+
+    oc = import_ref_open_clip()
+    ref, bundle = pair
+    tok = get_tokenizer()
+
+    classnames = list(metadata.SCAR_CLASSNAMES)
+    ref_templates = (
+        lambda c: f"A {c}",
+        lambda c: f"this is an image of {c}.",
+        lambda c: f"{c} presented in image.",
+        lambda c: f"a photo of {c}.",
+        lambda c: f"A {c} photo",
+    )  # reference zero_shot_metadata_other.py SIMPLE_SCAR_TEMPLATES
+    with torch.no_grad():
+        want = oc.build_zero_shot_classifier(
+            ref,
+            tokenizer=lambda texts: torch.from_numpy(
+                np.asarray(tok(texts)).astype(np.int64)),
+            classnames=classnames,
+            templates=ref_templates,
+            num_classes_per_batch=2,  # exercise the batched/concat path
+        ).numpy()
+    got = np.asarray(build_zero_shot_classifier(
+        bundle.module, bundle.params, tok, classnames,
+        metadata.SIMPLE_SCAR_TEMPLATES, num_classes_per_batch=2,
+    ))
+    assert got.shape == want.shape == (EMBED_DIM, len(classnames))
+    np.testing.assert_allclose(got, want, atol=1e-3)
+
+
 # ---------------------------------------------------------------------------
 # pos-embed resize parity vs the reference's torch implementation
 # ---------------------------------------------------------------------------
