@@ -89,3 +89,42 @@ def test_clean_canonicalize(reference_tokenizer):
     ref = reference_tokenizer.SimpleTokenizer(clean="canonicalize")
     for text in ["Hello, World! it's nice.", "under_score and-dash"]:
         np.testing.assert_array_equal(ours([text]), ref([text]).numpy())
+
+
+def test_fuzz_vs_reference(reference_tokenizer):
+    """Seeded fuzz sweep: random strings drawn from mixed character pools
+    (ascii words, punctuation runs, digits, accents, CJK, emoji, whitespace,
+    apostrophe contractions) must tokenize identically to the reference.
+    Catches BPE edge cases a hand-written corpus misses (SURVEY.md lists BPE
+    edge cases as a parity hard part)."""
+    import random
+
+    rng = random.Random(1234)
+    pools = [
+        "abcdefghijklmnopqrstuvwxyz",
+        "ABCDEFGHIJKLMNOPQRSTUVWXYZ",
+        "0123456789",
+        ".,;:!?()[]{}<>-_/\\'\"`~@#$%^&*+=|",
+        " \t\n",
+        "éàüñçøßœ",
+        "日本語中文한국어",
+        "🙂🚀✨",
+    ]
+    weights = [10, 3, 3, 4, 6, 2, 2, 1]
+
+    def rand_string():
+        n = rng.randint(0, 60)
+        return "".join(
+            rng.choice(rng.choices(pools, weights)[0]) for _ in range(n)
+        )
+
+    ours = SimpleTokenizer()
+    ref_tok = reference_tokenizer.SimpleTokenizer()
+    texts = [rand_string() for _ in range(300)]
+    ref = ref_tok(texts).numpy().astype(np.int32)
+    got = ours(texts)
+    np.testing.assert_array_equal(
+        got, ref,
+        err_msg="first mismatching row: %r" % (
+            texts[int(np.argmax((got != ref).any(axis=1)))],),
+    )
