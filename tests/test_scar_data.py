@@ -197,3 +197,41 @@ def test_main_other_eval_only_save_embed(scar_root, tmp_path):
     assert data["txt_embeddings"].shape == (3, 512)
     # the reference-layout .pt twin for the viz tools
     assert (tmp_path / "dataset_embeddings_all_no_templete_evalonly.pt").is_file()
+
+
+def test_dict_to_vector_matches_reference_dict_to_tensor():
+    """The 22-dim multi-hot loss target (reference dataloader_other.py
+    dict_to_tensor :162-182) — parity over every in-range index plus the
+    unmapped (-1) and out-of-range cases, which must leave the group zero."""
+    import ast
+    import itertools
+
+    import torch
+
+    path = "/root/reference/src/others/dataloader_other.py"
+    tree = ast.parse(open(path).read())
+    fn = None
+    for node in ast.walk(tree):
+        if isinstance(node, ast.FunctionDef) and node.name == "dict_to_tensor":
+            fn = node
+            break
+    assert fn is not None
+    ns = {"torch": torch}
+    exec(compile(ast.Module(body=[fn], type_ignores=[]), path, "exec"), ns)
+    ref_fn = ns["dict_to_tensor"]
+
+    cols = ["Width", "Color", "Pigmentation", "Surface", "Irregular_color",
+            "Irregular_height"]
+    sizes = [3, 4, 3, 4, 4, 4]
+    rng = np.random.default_rng(3)
+    cases = []
+    # every index in-range for one group at a time, others random
+    for gi, size in enumerate(sizes):
+        for sel in itertools.chain(range(size), [-1, size, size + 3]):
+            d = {c: int(rng.integers(0, s)) for c, s in zip(cols, sizes)}
+            d[cols[gi]] = sel
+            cases.append(d)
+    for d in cases:
+        want = ref_fn(None, d).numpy()  # unbound method; self unused
+        got = ScarDataset.dict_to_vector(d)
+        np.testing.assert_array_equal(got, want, err_msg=str(d))
