@@ -85,11 +85,42 @@ def main():
     def over_budget():
         return time.perf_counter() - t_start > budget_s
 
+    def mark(section):
+        # per-section elapsed to stderr: the driver only parses stdout's JSON
+        import sys
+
+        print(f"bench: +{time.perf_counter() - t_start:6.1f}s  {section}",
+              file=sys.stderr, flush=True)
+
     dev = jax.devices()[0]
     backend_ready.set()
-    bundle = create_model("ViT-B-32", precision="bf16")
+    mark("backend ready")
+
+    def device_init(bundle, image_size=None):
+        """Initialize a bundle's params ON the TPU. The host tunnel moves
+        ~32 MB/s, so shipping CPU-initialized trees (ViT-H fp32 = 4 GB ->
+        ~2 min per tower) dominated the bench; an on-device threefry init
+        produces the identical tree in milliseconds once its init program
+        is in the persistent cache."""
+        vc = bundle.model_cfg["vision_cfg"]
+        s = image_size or vc.get("image_size", 224)
+        if isinstance(s, (tuple, list)):
+            s = s[0]
+        ctx = bundle.model_cfg["text_cfg"].get("context_length", 77)
+        with jax.default_device(dev):
+            variables = jax.jit(
+                bundle.module.init, static_argnames=("deterministic",))(
+                jax.random.PRNGKey(0), jnp.zeros((1, s, s, 3), jnp.bfloat16),
+                jnp.zeros((1, ctx), jnp.int32), deterministic=True)
+        return variables["params"]
+
+    bundle = create_model("ViT-B-32", precision="bf16", skip_init=True)
     module = bundle.module
-    params = jax.device_put(bundle.params, dev)
+    try:
+        params = device_init(bundle)
+    except Exception:  # noqa: BLE001 - fall back to host init + transfer
+        bundle = create_model("ViT-B-32", precision="bf16")
+        params = jax.device_put(bundle.params, dev)
 
     n_classes = 64
     rng = np.random.default_rng(0)
@@ -123,11 +154,14 @@ def main():
     x_dev = jax.device_put(
         rng.integers(0, 256, size=(batch, 224, 224, 3)).astype(np.uint8), dev
     )
+    mark("headline: compiled inputs ready")
     np.asarray(fn(params, x_dev, class_w))  # compile + warm
+    mark("headline: warm done")
     t0 = time.perf_counter()
     np.asarray(fn(params, x_dev, class_w))
     dt = time.perf_counter() - t0
     imgs_per_sec = batch * K / dt
+    mark("headline: measured")
 
     # p50 per-image classify latency (batch 1, full host sync per call;
     # tunnel-RTT-dominated on this box). Measured IMMEDIATELY after the
@@ -146,6 +180,7 @@ def main():
             np.asarray(one_fn(params, one, class_w, jnp.bfloat16(i * 1e-9)))
             lat.append(time.perf_counter() - t)
         p50_ms = round(float(np.median(lat) * 1e3), 3)
+        mark("p50: measured")
     except Exception as e:  # noqa: BLE001
         p50_ms = f"unavailable: {type(e).__name__}"
 
@@ -203,6 +238,7 @@ def main():
         np.asarray(m["loss"])
         train_samples_per_s = round(
             tb * KT * reps / (time.perf_counter() - t0), 1)
+        mark("train: measured")
     except Exception as e:  # noqa: BLE001
         train_samples_per_s = f"unavailable: {type(e).__name__}"
 
@@ -223,6 +259,97 @@ def main():
         per_sample = 3.0 * (vis_fwd + txt_fwd)
         train_tflops = round(per_sample * train_samples_per_s / 1e12, 1)
 
+    # XTag full-model forward (the paper's actual inference path, reference
+    # model.py:498-590): encode image -> tag head -> on-device pseudo-prompt
+    # lookup (jnp.take over the pre-tokenized table; the reference tokenizes
+    # on host inside forward) -> text tower over the 77-token prompts ->
+    # TQN fusion both directions. Same chained-scan methodology. Runs BEFORE
+    # the large towers: it is the flagship path and must survive the budget.
+    xtag_full_imgs_per_s = None
+    xtag_serve_imgs_per_s = None
+    if not over_budget():
+        try:
+            from xtagclip_tpu.models.clip import num_combos
+
+            xb = create_model("ViT-B-32", precision="bf16",
+                              use_tagging=True, use_fusion=True,
+                              skip_init=True)
+            xparams = device_init(xb)
+            n_cls = 3
+            table = jax.device_put(jnp.asarray(rng.integers(
+                1, 49407, size=(1, n_cls, num_combos(), 77)).astype(np.int32)),
+                dev)
+            cls_ids = jnp.asarray(
+                rng.integers(0, n_cls, size=(batch,)).astype(np.int32))
+
+            def xforward(p, images_u8, tbl, cids, salt):
+                x = normalize_images(images_u8, dtype=jnp.bfloat16) + salt
+                out = xb.module.apply({"params": p}, x, None, tbl, cids, 0,
+                                      True)
+                return (out["i2t_cls"].sum() + out["t2i_cls"].sum()
+                        + out["tag_logits"].sum())
+
+            def xchained(p, images_u8, tbl, cids):
+                def body(carry, _):
+                    s = xforward(p, images_u8, tbl, cids,
+                                 carry.astype(jnp.bfloat16) * 1e-9)
+                    return s.astype(jnp.float32), s
+                _, outs = jax.lax.scan(body, jnp.float32(0), jnp.arange(8))
+                return outs
+
+            xfn = jax.jit(xchained)
+            np.asarray(xfn(xparams, x_dev, table, cls_ids))  # warm
+            t0 = time.perf_counter()
+            np.asarray(xfn(xparams, x_dev, table, cls_ids))
+            xtag_full_imgs_per_s = round(
+                batch * 8 / (time.perf_counter() - t0), 1)
+            mark("xtag_full: measured")
+        except Exception as e:  # noqa: BLE001
+            xtag_full_imgs_per_s = f"unavailable: {type(e).__name__}"
+
+    # XTag SERVING path: same pipeline with the per-image text tower replaced
+    # by the precomputed [C, K, D] prompt-feature gather (serving.py) — the
+    # prompt space is finite, so a fixed checkpoint embeds it once. Fusion
+    # scores all C classes per image ([B, C]). Equivalence to the full path
+    # is pinned by tests/test_serving.py; this measures the speedup.
+    if not over_budget() and isinstance(xtag_full_imgs_per_s, float):
+        try:
+            from xtagclip_tpu.models.clip import combo_index
+
+            # random [C, K, D] prompt-feature table: gather cost is what's
+            # being measured, the values don't matter for throughput
+            tbl_g = jax.device_put(jnp.asarray(rng.standard_normal(
+                (3, int(table.shape[2]), 512)).astype(np.float32)), dev)
+
+            def _serve(m, imgs):
+                _, tokens = m.encode_image(imgs, normalize=True,
+                                           deterministic=True)
+                tl = m.tag_forward(tokens, deterministic=True)
+                tag_local, _ = m.prepare_tag_indices(tl)
+                q = jnp.swapaxes(tbl_g[:, combo_index(tag_local)], 0, 1)
+                mem = jnp.concatenate(
+                    [tokens.mean(axis=1)[:, None], tokens], axis=1)
+                return m.fusion_model(mem, q, deterministic=True)[..., 0]
+
+            def schained(p, images_u8):
+                def body(carry, _):
+                    x = normalize_images(images_u8, dtype=jnp.bfloat16) \
+                        + carry.astype(jnp.bfloat16) * 1e-9
+                    i2t = xb.module.apply({"params": p}, x, method=_serve)
+                    return i2t.sum().astype(jnp.float32), i2t.sum()
+                _, outs = jax.lax.scan(body, jnp.float32(0), jnp.arange(8))
+                return outs
+
+            sfn = jax.jit(schained)
+            np.asarray(sfn(xparams, x_dev))  # warm
+            t0 = time.perf_counter()
+            np.asarray(sfn(xparams, x_dev))
+            xtag_serve_imgs_per_s = round(
+                batch * 8 / (time.perf_counter() - t0), 1)
+            mark("xtag_serve: measured")
+        except Exception as e:  # noqa: BLE001
+            xtag_serve_imgs_per_s = f"unavailable: {type(e).__name__}"
+
     # large-tower datapoint (BASELINE config #5 path, round-2 VERDICT item 3):
     # ViT-L-14 eval pipeline img/s + achieved TFLOP/s; ViT-H-14 @224 and @336
     # budget permitting. Same chained-scan methodology as the headline.
@@ -234,9 +361,10 @@ def main():
         # no_cls: the cls-free GAP perf option (PERF.md round 3; +15% on H/14)
         lb = create_model(model_name, precision="bf16",
                           force_image_size=image_size, scan_layers=True,
+                          skip_init=True,
                           **({"vision_cfg": {"no_class_token": True}}
                              if no_cls else {}))
-        lparams = jax.device_put(lb.params, dev)
+        lparams = device_init(lb, image_size=image_size)
         size = lb.model_cfg["vision_cfg"].get("image_size", 224)
         if image_size is not None:
             size = image_size
@@ -296,6 +424,7 @@ def main():
         if over_budget():
             break
         try:
+            mark(f"large_tower: {name} start")
             large_tower[name] = tower_rate(
                 name.split("@")[0].replace("-GAP-noCLS", "-CL32-GAP"), **cfg)
         except Exception as e:  # noqa: BLE001
@@ -347,95 +476,9 @@ def main():
             t0 = time.perf_counter()
             n = run_once()
             pipeline_samples_per_s = round(n / (time.perf_counter() - t0), 1)
+            mark("pipeline: measured")
         except Exception as e:  # noqa: BLE001
             pipeline_samples_per_s = f"unavailable: {type(e).__name__}"
-
-    # XTag full-model forward (the paper's actual inference path, reference
-    # model.py:498-590): encode image -> tag head -> on-device pseudo-prompt
-    # lookup (jnp.take over the pre-tokenized table; the reference tokenizes
-    # on host inside forward) -> text tower over the 77-token prompts ->
-    # TQN fusion both directions. Same chained-scan methodology.
-    xtag_full_imgs_per_s = None
-    if not over_budget():
-        try:
-            from xtagclip_tpu.models.clip import num_combos
-
-            xb = create_model("ViT-B-32", precision="bf16",
-                              use_tagging=True, use_fusion=True)
-            xparams = jax.device_put(xb.params, dev)
-            n_cls = 3
-            table = jax.device_put(jnp.asarray(rng.integers(
-                1, 49407, size=(1, n_cls, num_combos(), 77)).astype(np.int32)),
-                dev)
-            cls_ids = jnp.asarray(
-                rng.integers(0, n_cls, size=(batch,)).astype(np.int32))
-
-            def xforward(p, images_u8, tbl, cids, salt):
-                x = normalize_images(images_u8, dtype=jnp.bfloat16) + salt
-                out = xb.module.apply({"params": p}, x, None, tbl, cids, 0,
-                                      True)
-                return (out["i2t_cls"].sum() + out["t2i_cls"].sum()
-                        + out["tag_logits"].sum())
-
-            def xchained(p, images_u8, tbl, cids):
-                def body(carry, _):
-                    s = xforward(p, images_u8, tbl, cids,
-                                 carry.astype(jnp.bfloat16) * 1e-9)
-                    return s.astype(jnp.float32), s
-                _, outs = jax.lax.scan(body, jnp.float32(0), jnp.arange(8))
-                return outs
-
-            xfn = jax.jit(xchained)
-            np.asarray(xfn(xparams, x_dev, table, cls_ids))  # warm
-            t0 = time.perf_counter()
-            np.asarray(xfn(xparams, x_dev, table, cls_ids))
-            xtag_full_imgs_per_s = round(
-                batch * 8 / (time.perf_counter() - t0), 1)
-        except Exception as e:  # noqa: BLE001
-            xtag_full_imgs_per_s = f"unavailable: {type(e).__name__}"
-
-    # XTag SERVING path: same pipeline with the per-image text tower replaced
-    # by the precomputed [C, K, D] prompt-feature gather (serving.py) — the
-    # prompt space is finite, so a fixed checkpoint embeds it once. Fusion
-    # scores all C classes per image ([B, C]). Equivalence to the full path
-    # is pinned by tests/test_serving.py; this measures the speedup.
-    xtag_serve_imgs_per_s = None
-    if not over_budget() and isinstance(xtag_full_imgs_per_s, float):
-        try:
-            from xtagclip_tpu.models.clip import combo_index
-
-            # random [C, K, D] prompt-feature table: gather cost is what's
-            # being measured, the values don't matter for throughput
-            tbl_g = jax.device_put(jnp.asarray(rng.standard_normal(
-                (3, int(table.shape[2]), 512)).astype(np.float32)), dev)
-
-            def _serve(m, imgs):
-                _, tokens = m.encode_image(imgs, normalize=True,
-                                           deterministic=True)
-                tl = m.tag_forward(tokens, deterministic=True)
-                tag_local, _ = m.prepare_tag_indices(tl)
-                q = jnp.swapaxes(tbl_g[:, combo_index(tag_local)], 0, 1)
-                mem = jnp.concatenate(
-                    [tokens.mean(axis=1)[:, None], tokens], axis=1)
-                return m.fusion_model(mem, q, deterministic=True)[..., 0]
-
-            def schained(p, images_u8):
-                def body(carry, _):
-                    x = normalize_images(images_u8, dtype=jnp.bfloat16) \
-                        + carry.astype(jnp.bfloat16) * 1e-9
-                    i2t = xb.module.apply({"params": p}, x, method=_serve)
-                    return i2t.sum().astype(jnp.float32), i2t.sum()
-                _, outs = jax.lax.scan(body, jnp.float32(0), jnp.arange(8))
-                return outs
-
-            sfn = jax.jit(schained)
-            np.asarray(sfn(xparams, x_dev))  # warm
-            t0 = time.perf_counter()
-            np.asarray(sfn(xparams, x_dev))
-            xtag_serve_imgs_per_s = round(
-                batch * 8 / (time.perf_counter() - t0), 1)
-        except Exception as e:  # noqa: BLE001
-            xtag_serve_imgs_per_s = f"unavailable: {type(e).__name__}"
 
     # host JPEG-decode rate (the data plane the device pipeline number
     # excludes): native threaded libjpeg decode+resize+crop to 224.
@@ -459,6 +502,7 @@ def main():
         t0 = time.perf_counter()
         decode_batch(jpegs, 224)
         decode_imgs_per_s = round(len(jpegs) / (time.perf_counter() - t0), 1)
+        mark("decode: measured")
     except Exception as e:  # noqa: BLE001
         decode_imgs_per_s = f"unavailable: {type(e).__name__}"
 
@@ -491,6 +535,7 @@ def main():
                  "decode (host-bound, 1-core box) and h2d (tunnel-limited) "
                  "reported separately"),
     }
+    mark("h2d: measured")
     print(json.dumps(result))
 
 

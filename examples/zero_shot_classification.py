@@ -9,6 +9,10 @@ Works offline with random-init weights; pass --pretrained for real ones
 """
 import argparse
 import os
+import sys
+
+# runnable without installing the package: put the repo root on the path
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 # JAX_PLATFORMS=cpu alone does not stop TPU plugins that ignore the env var
 # (e.g. the axon plugin); the config route always works
