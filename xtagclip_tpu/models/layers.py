@@ -19,6 +19,8 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
+from xtagclip_tpu.ops import cls_split_attn
+
 Dtype = Any
 
 
@@ -143,6 +145,13 @@ def fused_attention(q, k, v, num_heads, mask=None, dropout_rate=0.0,
             deterministic=deterministic,
         )
         return _merge_heads(out)
+    if cls_split_attn.supported(lq, lk, mask) and cls_split_attn.enabled():
+        return cls_split_attn.cls_split_attention(
+            q.reshape(b, lq, num_heads, dh),
+            k.reshape(b, lk, num_heads, dh),
+            v.reshape(b, lk, num_heads, dh),
+            layout="blhd",
+        ).reshape(b, lq, e)
     return jax.nn.dot_product_attention(
         q.reshape(b, lq, num_heads, dh),
         k.reshape(b, lk, num_heads, dh),
@@ -259,16 +268,28 @@ class MultiheadAttention(nn.Module):
             out = _merge_heads(out)
         else:
             # fast path: BLHD layout (no head transposes) through the
-            # TPU-optimized fused attention lowering
+            # TPU-optimized fused attention lowering; ragged cls sequences
+            # (L = 128k+r, the ViT case) through the exact lane-aligned
+            # split (ops/cls_split_attn.py) when enabled
             b, lq, _ = qh.shape
             lk = kh.shape[1]
             nh, dh = self.num_heads, e // self.num_heads
-            out = jax.nn.dot_product_attention(
-                qh.reshape(b, lq, nh, dh),
-                kh.reshape(b, lk, nh, dh),
-                vh.reshape(b, lk, nh, dh),
-                bias=mask.astype(jnp.float32) if mask is not None else None,
-            ).reshape(b, lq, e)
+            if cls_split_attn.supported(lq, lk, mask) \
+                    and cls_split_attn.enabled():
+                out = cls_split_attn.cls_split_attention(
+                    qh.reshape(b, lq, nh, dh),
+                    kh.reshape(b, lk, nh, dh),
+                    vh.reshape(b, lk, nh, dh),
+                    layout="blhd",
+                ).reshape(b, lq, e)
+            else:
+                out = jax.nn.dot_product_attention(
+                    qh.reshape(b, lq, nh, dh),
+                    kh.reshape(b, lk, nh, dh),
+                    vh.reshape(b, lk, nh, dh),
+                    bias=mask.astype(jnp.float32)
+                    if mask is not None else None,
+                ).reshape(b, lq, e)
         out = dense(e, "out_proj")(out)
         if return_weights:
             # torch returns head-averaged weights by default
