@@ -19,7 +19,7 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from xtagclip_tpu.ops import cls_split_attn
+from xtagclip_tpu.ops import cls_split_attn, flash_attn
 
 Dtype = Any
 
@@ -152,6 +152,13 @@ def fused_attention(q, k, v, num_heads, mask=None, dropout_rate=0.0,
             v.reshape(b, lk, num_heads, dh),
             layout="blhd",
         ).reshape(b, lq, e)
+    if flash_attn.enabled() and flash_attn.supported(lq, lk, mask, dh):
+        return flash_attn.flash_mha(
+            q.reshape(b, lq, num_heads, dh),
+            k.reshape(b, lk, num_heads, dh),
+            v.reshape(b, lk, num_heads, dh),
+            layout="blhd",
+        ).reshape(b, lq, e)
     return jax.nn.dot_product_attention(
         q.reshape(b, lq, num_heads, dh),
         k.reshape(b, lk, num_heads, dh),
@@ -277,6 +284,14 @@ class MultiheadAttention(nn.Module):
             if cls_split_attn.supported(lq, lk, mask) \
                     and cls_split_attn.enabled():
                 out = cls_split_attn.cls_split_attention(
+                    qh.reshape(b, lq, nh, dh),
+                    kh.reshape(b, lk, nh, dh),
+                    vh.reshape(b, lk, nh, dh),
+                    layout="blhd",
+                ).reshape(b, lq, e)
+            elif flash_attn.enabled() and flash_attn.supported(lq, lk, mask,
+                                                               dh):
+                out = flash_attn.flash_mha(
                     qh.reshape(b, lq, nh, dh),
                     kh.reshape(b, lk, nh, dh),
                     vh.reshape(b, lk, nh, dh),
