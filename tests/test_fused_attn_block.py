@@ -1,0 +1,112 @@
+"""Fused attention half-block (ops/fused_attn_block.py): kernel parity vs
+the composed-op chain (interpret mode — runs on any backend), gradients
+through the custom_vjp, the shape/VMEM gate, and the ResidualAttentionBlock
+wiring (param-tree compatibility with the unfused path).
+
+The kernel computes y = x + out_proj(MHA(LN(x))) — the attention half of
+the pre-norm block (reference transformer.py:213-269) — in one Pallas
+kernel. Measured on-chip it is bit-identical to the composed XLA path and
++43% end-to-end on ViT-L GAP (PERF.md round 3, "the whole-block kernel").
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from flax.core import unfreeze
+
+from xtagclip_tpu.models.layers import ResidualAttentionBlock
+from xtagclip_tpu.ops import fused_attn_block as fab
+
+
+def _interpret():
+    import jax.experimental.pallas.tpu as pltpu
+
+    return pltpu.force_tpu_interpret_mode()
+
+
+def _inputs(b=2, l=32, d=128, seed=0):
+    rng = np.random.default_rng(seed)
+    f = lambda s, dt=jnp.bfloat16: jnp.asarray(rng.standard_normal(s), dt)
+    return (f((b, l, d)),
+            f(d, jnp.float32), f(d, jnp.float32),
+            f((d, 3 * d)) * 0.2, f(3 * d, jnp.float32),
+            f((d, d)) * 0.2, f(d, jnp.float32))
+
+
+def test_kernel_matches_composed_chain():
+    x, g, b_, wqkv, bqkv, wout, bout = _inputs()
+    ref = fab._reference_chain(x, g, b_, wqkv, bqkv, wout, bout, 2, 1e-5)
+    with _interpret():
+        out = fab.fused_attn_half(x, g, b_, wqkv, bqkv, wout, bout, 2, 1e-5)
+    np.testing.assert_array_equal(np.asarray(out, np.float32),
+                                  np.asarray(ref, np.float32))
+
+
+def test_gradients_match_composed_chain():
+    x, g, b_, wqkv, bqkv, wout, bout = _inputs(b=1, l=16, d=128, seed=1)
+
+    def loss(fn, *args):
+        y = fn(*args, 2, 1e-5).astype(jnp.float32)
+        return (y * y).sum()
+
+    args = (x, g, b_, wqkv, bqkv, wout, bout)
+    g_ref = jax.grad(lambda *a: loss(fab._reference_chain, *a),
+                     argnums=tuple(range(7)))(*args)
+    with _interpret():
+        g_out = jax.grad(lambda *a: loss(fab.fused_attn_half, *a),
+                         argnums=tuple(range(7)))(*args)
+    for a, r in zip(g_out, g_ref):
+        np.testing.assert_allclose(np.asarray(a, np.float32),
+                                   np.asarray(r, np.float32),
+                                   atol=1e-4, rtol=1e-4)
+
+
+def test_shape_gate():
+    # the measured ViT-L GAP case
+    assert fab.supported((128, 256, 1024), 16)
+    # ragged cls sequence: not yet taken
+    assert not fab.supported((64, 257, 1024), 16)
+    # head dims that do not slice on clean lane boundaries
+    assert not fab.supported((64, 256, 1280), 16)   # dh=80
+    # fp32 streams stay on the XLA path
+    assert not fab.supported((128, 256, 1024), 16, jnp.float32)
+    # VMEM: ViT-L at 336px (L=576) exceeds the resident-weight budget
+    assert not fab.supported((64, 576, 1024), 16)
+
+
+def test_block_wiring_param_compat(monkeypatch):
+    """The fused branch declares the exact same param tree as the unfused
+    block (ln_1/attn names and shapes), and its output matches."""
+    b, l, d, h = 1, 32, 128, 2
+    x = jnp.asarray(np.random.default_rng(2).standard_normal((b, l, d)),
+                    jnp.bfloat16)
+    block = ResidualAttentionBlock(num_heads=h, dtype=jnp.bfloat16)
+
+    monkeypatch.delenv("XTAG_FUSED_BLOCK", raising=False)
+    v_ref = block.init(jax.random.PRNGKey(0), x)
+    ref = block.apply(v_ref, x)
+
+    monkeypatch.setenv("XTAG_FUSED_BLOCK", "1")
+    monkeypatch.setattr(fab, "supported", lambda *a, **k: True)
+    with _interpret():
+        v_fused = block.init(jax.random.PRNGKey(0), x)
+        ref_tree = jax.tree.map(lambda a: a.shape, unfreeze(v_ref))
+        fused_tree = jax.tree.map(lambda a: a.shape, unfreeze(v_fused))
+        assert ref_tree == fused_tree
+        out = block.apply(v_ref, x)   # unfused params drive the fused path
+    np.testing.assert_allclose(np.asarray(out, np.float32),
+                               np.asarray(ref, np.float32),
+                               atol=2e-2, rtol=2e-2)
+
+
+def test_env_gate(monkeypatch):
+    monkeypatch.delenv("XTAG_FUSED_BLOCK", raising=False)
+    assert not fab.enabled()
+    monkeypatch.setenv("XTAG_FUSED_BLOCK", "1")
+    assert fab.enabled()
+    monkeypatch.setenv("XTAG_FUSED_BLOCK", "0")
+    assert not fab.enabled()
+    monkeypatch.setenv("XTAG_FUSED_BLOCK", "auto")
+    assert fab.enabled() == (jax.default_backend() == "tpu")

@@ -19,7 +19,7 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from xtagclip_tpu.ops import cls_split_attn, flash_attn
+from xtagclip_tpu.ops import cls_split_attn, flash_attn, fused_attn_block
 
 Dtype = Any
 
@@ -375,11 +375,47 @@ class MLP(nn.Module):
                         param_dtype=self.param_dtype)(h)
 
 
+class _LNParams(nn.Module):
+    """Declares LayerNorm-compatible params (scale ones, bias zeros) without
+    applying them — for handing raw weights to a fused kernel while keeping
+    the exact LayerNorm checkpoint layout."""
+
+    param_dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, dim: int):
+        scale = self.param("scale", nn.initializers.ones, (dim,),
+                           self.param_dtype)
+        bias = self.param("bias", nn.initializers.zeros, (dim,),
+                          self.param_dtype)
+        return scale, bias
+
+
+class _MHAParams(nn.Module):
+    """MultiheadAttention-compatible param tree (in_proj [E,3E] + out_proj)
+    without applying it — the fused-block kernel consumes the raw weights."""
+
+    e: int
+    param_dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self):
+        kqkv, bqkv = _DenseParams(3 * self.e, self.param_dtype,
+                                  name="in_proj")(self.e)
+        kout, bout = _DenseParams(self.e, self.param_dtype,
+                                  name="out_proj")(self.e)
+        return kqkv, bqkv, kout, bout
+
+
 class ResidualAttentionBlock(nn.Module):
     """Pre-norm transformer block (reference transformer.py:213-269).
 
     is_cross_attention adds an ln_1_kv over the key/value stream (the CoCa
-    multimodal decoder's cross-attn block)."""
+    multimodal decoder's cross-attn block).
+
+    XTAG_FUSED_BLOCK=1 opts the attention half (LN1 -> qkv -> MHA -> out
+    proj -> residual) into one Pallas kernel (ops/fused_attn_block.py) on
+    qualifying shapes — see PERF.md for the measured trade-off."""
 
     num_heads: int
     mlp_ratio: float = 4.0
@@ -394,6 +430,24 @@ class ResidualAttentionBlock(nn.Module):
     def __call__(self, x, k_x=None, v_x=None, attn_mask=None,
                  deterministic=True):
         d = x.shape[-1]
+        if (not self.is_cross_attention and k_x is None and v_x is None
+                and attn_mask is None and self.ls_init_value is None
+                and self.dtype == jnp.bfloat16
+                and fused_attn_block.enabled()
+                and fused_attn_block.supported(x.shape, self.num_heads,
+                                               self.dtype)):
+            g, bln = _LNParams(self.param_dtype, name="ln_1")(d)
+            kqkv, bqkv, kout, bout = _MHAParams(
+                e=d, param_dtype=self.param_dtype, name="attn")()
+            x = fused_attn_block.fused_attn_half(
+                x.astype(self.dtype), g, bln,
+                kqkv.astype(self.dtype), bqkv, kout.astype(self.dtype),
+                bout, self.num_heads, self.norm_eps)
+            mlp_out = MLP(int(d * self.mlp_ratio), self.act,
+                          dtype=self.dtype, param_dtype=self.param_dtype,
+                          name="mlp")(
+                LayerNorm(eps=self.norm_eps, name="ln_2")(x))
+            return x + mlp_out
         if self.is_cross_attention and k_x is not None:
             kv_norm = LayerNorm(eps=self.norm_eps, name="ln_1_kv")
             k_in = kv_norm(k_x)

@@ -1,0 +1,210 @@
+"""Pallas fused attention half-block: y = x + out_proj(MHA(LN(x))).
+
+The round-2/3 fusion experiments (PERF.md) measured the same pattern three
+times: a Pallas kernel that beats XLA standalone (fused MLP +20-25%, flash
+attention +21%) loses in the full model because the ``pallas_call`` is a
+fusion barrier — the LN prologue, residual add, and layout glue XLA
+previously folded into the matmuls get their own HBM round trips. The
+conclusion each time: the kernel must subsume EVERYTHING between two
+residual states, not cherry-pick the matmuls.
+
+This kernel does exactly that for the attention half of a pre-norm
+transformer block (reference transformer.py:213-269): one grid step per
+batch element keeps the normalized stream, q/k/v, attention scores, and the
+attention output entirely in VMEM — the only HBM traffic is x in, y out,
+and the weights once (constant-index BlockSpecs keep them resident across
+the whole batch). It became compilable in round 3 when the toolchain
+started accepting in-kernel batched/chained matmuls (see PERF.md "the
+Pallas toolchain unblock").
+
+Numerics contract (same as the XLA path in models/layers.py):
+- LN statistics in fp32, normalized output in the stream dtype (bf16);
+- q/k/v and out projections accumulate fp32 on the MXU;
+- attention scores and softmax in fp32, probabilities cast to the value
+  dtype for the AV matmul;
+- residual add in fp32, result cast to the stream dtype.
+
+Training passes through a ``custom_vjp`` whose backward is the standard
+XLA matmul chain with recomputation (the kernel targets the eval/serving
+path; the backward matches autodiff of the composed ops).
+
+Gate: ``XTAG_FUSED_BLOCK`` (``1`` opt-in / ``0`` off / ``auto`` = TPU), the
+same convention as XTAG_FUSED_MLP / XTAG_FLASH_ATTN. Default is set by the
+measured in-model outcome — see PERF.md.
+"""
+
+from __future__ import annotations
+
+import os
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+_LANE = 128
+_VMEM_BUDGET = 16 * 1024 * 1024
+
+
+def enabled(default: str = "0") -> bool:
+    """XTAG_FUSED_BLOCK: '1' opt-in, '0' off, 'auto' = TPU backends only."""
+    v = os.environ.get("XTAG_FUSED_BLOCK", default)
+    if v == "1":
+        return True
+    if v == "0":
+        return False
+    return jax.default_backend() == "tpu"
+
+
+def supported(shape, num_heads: int, dtype=jnp.bfloat16) -> bool:
+    """[B, L, D] streams the kernel takes: bf16, lane-aligned width, a head
+    dim that slices cleanly on lanes, and the whole per-element working set
+    (weights resident + one element's activations) under the VMEM budget."""
+    if len(shape) != 3:
+        return False
+    _, l, d = shape
+    if dtype != jnp.bfloat16:
+        return False
+    if d % _LANE != 0 or (d // num_heads) not in (64, 128):
+        return False
+    if l % 16 != 0 or l < 16:  # bf16 sublane tile
+        return False
+    # weights (qkv + out, bf16) + x/y blocks (double-buffered) + the bf16
+    # xn/q/k/v/att streams + one transient fp32 dot output + one head's
+    # fp32 score matrix. Calibrated against a real compile at ViT-L shapes
+    # (B=128, L=256, D=1024, H=16 -> ~14.3 MB, compiles and runs).
+    vmem = (4 * d * d * 2            # wqkv [D,3D] + wout [D,D]
+            + 4 * l * d * 2          # x, y double-buffered
+            + 5 * l * d * 2          # xn + q/k/v + att bf16
+            + l * d * 4              # one fp32 dot output
+            + l * l * 4)             # per-head fp32 scores
+    return vmem < _VMEM_BUDGET
+
+
+@partial(jax.jit, static_argnames=("num_heads", "eps"))
+def _fused_attn_half_fwd(x, ln_scale, ln_bias, wqkv, bqkv, wout, bout,
+                         num_heads: int, eps: float):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    b, l, d = x.shape
+    dh = d // num_heads
+    scale = dh**-0.5
+
+    def kernel(x_ref, g_ref, lb_ref, wqkv_ref, bqkv_ref, wout_ref, bout_ref,
+               o_ref):
+        xb = x_ref[0]                                   # [L, D] bf16
+        x32 = xb.astype(jnp.float32)
+        mean = jnp.mean(x32, axis=-1, keepdims=True)
+        var = jnp.mean(jnp.square(x32 - mean), axis=-1, keepdims=True)
+        xn32 = (x32 - mean) * jax.lax.rsqrt(var + eps)
+        xn32 = (xn32 * g_ref[0].astype(jnp.float32)
+                + lb_ref[0].astype(jnp.float32))
+        xn = xn32.astype(xb.dtype)                      # [L, D] bf16
+
+        def proj(lo, hi):
+            w = wqkv_ref[:, lo:hi]
+            y = jnp.dot(xn, w, preferred_element_type=jnp.float32)
+            return (y + bqkv_ref[0, lo:hi].astype(jnp.float32)).astype(
+                xb.dtype)
+
+        q = proj(0, d)
+        k = proj(d, 2 * d)
+        v = proj(2 * d, 3 * d)
+
+        outs = []
+        for h in range(num_heads):
+            sl = slice(h * dh, (h + 1) * dh)
+            s = jax.lax.dot_general(
+                q[:, sl], k[:, sl], (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ) * scale                                    # [L, L] fp32
+            p = jax.nn.softmax(s, axis=-1)
+            o = jnp.dot(p.astype(xb.dtype), v[:, sl],
+                        preferred_element_type=jnp.float32)
+            outs.append(o.astype(xb.dtype))
+        att = jnp.concatenate(outs, axis=-1)             # [L, D] bf16
+
+        y = jnp.dot(att, wout_ref[:], preferred_element_type=jnp.float32)
+        y = y + bout_ref[0].astype(jnp.float32)
+        o_ref[0] = (x32 + y).astype(o_ref.dtype)
+
+    const = lambda i: (0, 0)  # noqa: E731 — weights resident across steps
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((b, l, d), x.dtype),
+        grid=(b,),
+        in_specs=[
+            pl.BlockSpec((1, l, d), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, d), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, d), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((d, 3 * d), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 3 * d), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((d, d), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, d), const, memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, l, d), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * b * l * d * (4 * d + 2 * l),
+            bytes_accessed=2 * (2 * b * l * d + 4 * d * d),
+            transcendentals=b * l * l * num_heads,
+        ),
+    )(x, ln_scale.reshape(1, d), ln_bias.reshape(1, d), wqkv,
+      bqkv.reshape(1, 3 * d), wout, bout.reshape(1, d))
+
+
+def _reference_chain(x, ln_scale, ln_bias, wqkv, bqkv, wout, bout,
+                     num_heads: int, eps: float):
+    """The composed-op equivalent (what the kernel replaces) — used for the
+    backward pass (autodiff through this matches the kernel's forward) and
+    for correctness tests."""
+    b, l, d = x.shape
+    dh = d // num_heads
+    x32 = x.astype(jnp.float32)
+    mean = jnp.mean(x32, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(x32 - mean), axis=-1, keepdims=True)
+    xn32 = (x32 - mean) * jax.lax.rsqrt(var + eps)
+    xn = (xn32 * ln_scale.astype(jnp.float32)
+          + ln_bias.astype(jnp.float32)).astype(x.dtype)
+    qkv = (jnp.einsum("bld,de->ble", xn, wqkv,
+                      preferred_element_type=jnp.float32)
+           + bqkv.astype(jnp.float32)).astype(x.dtype)
+    q, k, v = jnp.split(qkv, 3, axis=-1)
+    split = lambda t: t.reshape(b, l, num_heads, dh)  # noqa: E731
+    s = jnp.einsum("bqhe,bkhe->bhqk", split(q), split(k),
+                   preferred_element_type=jnp.float32) * dh**-0.5
+    p = jax.nn.softmax(s, axis=-1)
+    o = jnp.einsum("bhqk,bkhe->bqhe", p.astype(x.dtype), split(v),
+                   preferred_element_type=jnp.float32)
+    att = o.astype(x.dtype).reshape(b, l, d)
+    y = (jnp.einsum("bld,de->ble", att, wout,
+                    preferred_element_type=jnp.float32)
+         + bout.astype(jnp.float32))
+    return (x32 + y).astype(x.dtype)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(7, 8))
+def fused_attn_half(x, ln_scale, ln_bias, wqkv, bqkv, wout, bout,
+                    num_heads: int, eps: float = 1e-5):
+    """y = x + out_proj(MHA(LN(x))) in one Pallas kernel (see module doc)."""
+    return _fused_attn_half_fwd(x, ln_scale, ln_bias, wqkv, bqkv, wout,
+                                bout, num_heads, eps)
+
+
+def _fwd(x, ln_scale, ln_bias, wqkv, bqkv, wout, bout, num_heads, eps):
+    out = _fused_attn_half_fwd(x, ln_scale, ln_bias, wqkv, bqkv, wout, bout,
+                               num_heads, eps)
+    return out, (x, ln_scale, ln_bias, wqkv, bqkv, wout, bout)
+
+
+def _bwd(num_heads, eps, res, g):
+    x, ln_scale, ln_bias, wqkv, bqkv, wout, bout = res
+    _, vjp = jax.vjp(
+        lambda *a: _reference_chain(*a, num_heads=num_heads, eps=eps),
+        x, ln_scale, ln_bias, wqkv, bqkv, wout, bout,
+    )
+    return vjp(g)
+
+
+fused_attn_half.defvjp(_fwd, _bwd)
