@@ -64,16 +64,25 @@ def test_gradients_match_composed_chain():
 
 
 def test_shape_gate():
-    # the measured ViT-L GAP case
+    # verified-on-chip families (PERF.md): B/32, B/16, L/14 (+GAP, +336)
+    assert fab.supported((256, 50, 768), 12)
+    assert fab.supported((256, 197, 768), 12)
     assert fab.supported((128, 256, 1024), 16)
-    # ragged cls sequence: not yet taken
-    assert not fab.supported((64, 257, 1024), 16)
-    # head dims that do not slice on clean lane boundaries
-    assert not fab.supported((64, 256, 1280), 16)   # dh=80
+    assert fab.supported((128, 257, 1024), 16)
+    assert fab.supported((64, 577, 1024), 16)
+    # ViT-H (dh=80): cls towers only — the lane-aligned GAP lengths crash
+    # the Mosaic compiler (deterministic, PERF.md)
+    assert fab.supported((64, 257, 1280), 16)
+    assert fab.supported((32, 577, 1280), 16)
+    assert not fab.supported((64, 256, 1280), 16)
+    assert not fab.supported((32, 576, 1280), 16)
+    # ViT-g / ViT-bigG head dims (88/104): crash — rejected
+    assert not fab.supported((32, 257, 1408, ), 16)
+    assert not fab.supported((16, 257, 1664), 16)
     # fp32 streams stay on the XLA path
     assert not fab.supported((128, 256, 1024), 16, jnp.float32)
-    # VMEM: ViT-L at 336px (L=576) exceeds the resident-weight budget
-    assert not fab.supported((64, 576, 1024), 16)
+    # working-set budget: the >=448px giants are untested and rejected
+    assert not fab.supported((16, 1025, 1024), 16)
 
 
 def test_block_wiring_param_compat(monkeypatch):
@@ -102,11 +111,12 @@ def test_block_wiring_param_compat(monkeypatch):
 
 
 def test_env_gate(monkeypatch):
+    auto = (jax.default_backend() == "tpu" and jax.device_count() == 1)
     monkeypatch.delenv("XTAG_FUSED_BLOCK", raising=False)
-    assert not fab.enabled()
+    assert fab.enabled() == auto  # default IS auto (bit-identical + faster)
     monkeypatch.setenv("XTAG_FUSED_BLOCK", "1")
     assert fab.enabled()
     monkeypatch.setenv("XTAG_FUSED_BLOCK", "0")
     assert not fab.enabled()
     monkeypatch.setenv("XTAG_FUSED_BLOCK", "auto")
-    assert fab.enabled() == (jax.default_backend() == "tpu")
+    assert fab.enabled() == auto

@@ -42,36 +42,53 @@ import jax
 import jax.numpy as jnp
 
 _LANE = 128
-_VMEM_BUDGET = 16 * 1024 * 1024
+_VMEM_BUDGET = 32 * 1024 * 1024
 
 
-def enabled(default: str = "0") -> bool:
-    """XTAG_FUSED_BLOCK: '1' opt-in, '0' off, 'auto' = TPU backends only."""
+def enabled(default: str = "auto") -> bool:
+    """XTAG_FUSED_BLOCK: '1' opt-in, '0' off, 'auto' (the default — the
+    kernel is bit-identical to the XLA path and +28-43% on every verified
+    tower, PERF.md) = on for single-device TPU processes. Multi-device
+    stays on the XLA path: a pallas_call inside a GSPMD-partitioned jit
+    is not automatically shardable over the batch axis."""
     v = os.environ.get("XTAG_FUSED_BLOCK", default)
     if v == "1":
         return True
     if v == "0":
         return False
-    return jax.default_backend() == "tpu"
+    return jax.default_backend() == "tpu" and jax.device_count() == 1
 
 
 def supported(shape, num_heads: int, dtype=jnp.bfloat16) -> bool:
-    """[B, L, D] streams the kernel takes: bf16, lane-aligned width, a head
-    dim that slices cleanly on lanes, and the whole per-element working set
-    (weights resident + one element's activations) under the VMEM budget."""
+    """[B, L, D] streams the kernel takes — the set verified ON-CHIP
+    (PERF.md round 3, "the whole-block kernel"):
+
+    - bf16, no mask, self-attention, D % 128 == 0, L >= 8 (ragged lengths
+      compile and run exactly — Mosaic masks the padded sublanes/lanes;
+      L=50/197/256/257/576/577 all verified);
+    - head_dim 64 or 128: every probed shape compiles (ViT-B/32, B/16,
+      L/14 at 224 and 336, GAP variants);
+    - head_dim 80 (ViT-H/14): compiles ONLY for the cls towers
+      (L % 16 == 1 — 257/577 verified); the lane-aligned GAP lengths
+      (256/576) crash the Mosaic compiler deterministically. Empirical
+      toolchain workaround, re-probe on toolchain updates;
+    - head_dim 88/104 (ViT-g, ViT-bigG widths): crash — rejected;
+    - estimated working set under the budget (the estimate overcounts —
+      real compiles fit well above the old 16 MB model; calibrated so
+      every verified shape passes and the untested >=448px giants don't).
+    """
     if len(shape) != 3:
         return False
     _, l, d = shape
     if dtype != jnp.bfloat16:
         return False
-    if d % _LANE != 0 or (d // num_heads) not in (64, 128):
+    if d % _LANE != 0 or l < 8:
         return False
-    if l % 16 != 0 or l < 16:  # bf16 sublane tile
+    dh = d // num_heads
+    if dh not in (64, 80, 128):
         return False
-    # weights (qkv + out, bf16) + x/y blocks (double-buffered) + the bf16
-    # xn/q/k/v/att streams + one transient fp32 dot output + one head's
-    # fp32 score matrix. Calibrated against a real compile at ViT-L shapes
-    # (B=128, L=256, D=1024, H=16 -> ~14.3 MB, compiles and runs).
+    if dh == 80 and l % 16 != 1:
+        return False
     vmem = (4 * d * d * 2            # wqkv [D,3D] + wout [D,D]
             + 4 * l * d * 2          # x, y double-buffered
             + 5 * l * d * 2          # xn + q/k/v + att bf16
