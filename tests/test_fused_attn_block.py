@@ -110,6 +110,69 @@ def test_block_wiring_param_compat(monkeypatch):
                                atol=2e-2, rtol=2e-2)
 
 
+def _mlp_inputs(b=2, l=32, d=128, h=512, seed=3):
+    rng = np.random.default_rng(seed)
+    f = lambda s, dt=jnp.bfloat16: jnp.asarray(rng.standard_normal(s), dt)
+    return (f((b, l, d)), f(d, jnp.float32), f(d, jnp.float32),
+            f((d, h)) * 0.1, f(h, jnp.float32),
+            f((h, d)) * 0.1, f(d, jnp.float32))
+
+
+@pytest.mark.parametrize("act", ["gelu", "quick_gelu"])
+def test_mlp_half_matches_composed_chain(act):
+    args = _mlp_inputs()
+    ref = fab._reference_mlp_chain(*args, act, 1e-5)
+    with _interpret():
+        out = fab.fused_mlp_half(*args, act, 1e-5)
+    # quick_gelu is op-for-op identical; exact gelu uses the rational erf
+    # (max abs err 1.5e-7 pre-rounding — can flip a single bf16 rounding,
+    # observed 1/8192 elements off by one ULP)
+    tol = 0.0 if act == "quick_gelu" else 1e-3
+    np.testing.assert_allclose(np.asarray(out, np.float32),
+                               np.asarray(ref, np.float32), atol=tol)
+
+
+def test_mlp_half_pads_ragged_rows():
+    # 2*50 = 100 rows: not a multiple of the 256-row tile
+    args = _mlp_inputs(b=2, l=50)
+    ref = fab._reference_mlp_chain(*args, "quick_gelu", 1e-5)
+    with _interpret():
+        out = fab.fused_mlp_half(*args, "quick_gelu", 1e-5)
+    np.testing.assert_array_equal(np.asarray(out, np.float32),
+                                  np.asarray(ref, np.float32))
+
+
+def test_mlp_half_gradients_match():
+    args = _mlp_inputs(b=1, l=16, seed=4)
+
+    def loss(fn, *a):
+        y = fn(*a, "quick_gelu", 1e-5).astype(jnp.float32)
+        return (y * y).sum()
+
+    g_ref = jax.grad(lambda *a: loss(fab._reference_mlp_chain, *a),
+                     argnums=tuple(range(7)))(*args)
+    with _interpret():
+        g_out = jax.grad(lambda *a: loss(fab.fused_mlp_half, *a),
+                         argnums=tuple(range(7)))(*args)
+    for a, r in zip(g_out, g_ref):
+        np.testing.assert_allclose(np.asarray(a, np.float32),
+                                   np.asarray(r, np.float32),
+                                   atol=1e-4, rtol=1e-4)
+
+
+def test_mlp_gate():
+    # verified widths: ViT-B (768/3072) and ViT-L (1024/4096)
+    assert fab.supported_mlp((256, 50, 768), 3072, "quick_gelu")
+    assert fab.supported_mlp((128, 257, 1024), 4096, "gelu")
+    # ViT-H width: resident c_fc/c_proj exceed the ~32 MB VMEM ceiling
+    # (crashes the compiler, probed on-chip)
+    assert not fab.supported_mlp((64, 257, 1280), 5120, "gelu")
+    # unknown activations and fp32 streams stay on the XLA path
+    assert not fab.supported_mlp((256, 50, 768), 3072, "relu")
+    assert not fab.supported_mlp((256, 50, 768), 3072, "quick_gelu",
+                                 jnp.float32)
+
+
 def test_env_gate(monkeypatch):
     auto = (jax.default_backend() == "tpu" and jax.device_count() == 1)
     monkeypatch.delenv("XTAG_FUSED_BLOCK", raising=False)

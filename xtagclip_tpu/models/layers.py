@@ -407,6 +407,19 @@ class _MHAParams(nn.Module):
         return kqkv, bqkv, kout, bout
 
 
+class _MLPParams(nn.Module):
+    """MLP-compatible param tree (c_fc + c_proj) without applying it — the
+    fused MLP-half kernel consumes the raw weights."""
+
+    param_dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, din: int, width: int):
+        k1, b1 = _DenseParams(width, self.param_dtype, name="c_fc")(din)
+        k2, b2 = _DenseParams(din, self.param_dtype, name="c_proj")(width)
+        return k1, b1, k2, b2
+
+
 class ResidualAttentionBlock(nn.Module):
     """Pre-norm transformer block (reference transformer.py:213-269).
 
@@ -443,7 +456,18 @@ class ResidualAttentionBlock(nn.Module):
                 x.astype(self.dtype), g, bln,
                 kqkv.astype(self.dtype), bqkv, kout.astype(self.dtype),
                 bout, self.num_heads, self.norm_eps)
-            mlp_out = MLP(int(d * self.mlp_ratio), self.act,
+            mlp_width = int(d * self.mlp_ratio)
+            act_name = {"gelu_exact": "gelu", "quick_gelu": "quick_gelu"
+                        }.get(getattr(self.act, "__name__", ""))
+            if (act_name is not None and fused_attn_block.supported_mlp(
+                    x.shape, mlp_width, act_name, self.dtype)):
+                g2, bln2 = _LNParams(self.param_dtype, name="ln_2")(d)
+                k1, b1, k2, b2 = _MLPParams(
+                    param_dtype=self.param_dtype, name="mlp")(d, mlp_width)
+                return fused_attn_block.fused_mlp_half(
+                    x, g2, bln2, k1.astype(self.dtype), b1,
+                    k2.astype(self.dtype), b2, act_name, self.norm_eps)
+            mlp_out = MLP(mlp_width, self.act,
                           dtype=self.dtype, param_dtype=self.param_dtype,
                           name="mlp")(
                 LayerNorm(eps=self.norm_eps, name="ln_2")(x))

@@ -171,6 +171,150 @@ def _fused_attn_half_fwd(x, ln_scale, ln_bias, wqkv, bqkv, wout, bout,
       bqkv.reshape(1, 3 * d), wout, bout.reshape(1, d))
 
 
+_MLP_TILE = 256
+
+
+def supported_mlp(shape, mlp_width: int, act_name: str,
+                  dtype=jnp.bfloat16) -> bool:
+    """Rows the MLP-half kernel takes: bf16, lane-aligned widths, a known
+    in-kernel activation, and resident c_fc/c_proj weights within budget
+    (verified on-chip at ViT-B and ViT-L widths — see PERF.md)."""
+    if act_name not in ("gelu", "quick_gelu"):
+        return False
+    if dtype != jnp.bfloat16:
+        return False
+    d = shape[-1]
+    if d % _LANE != 0 or mlp_width % _LANE != 0:
+        return False
+    vmem = (2 * d * mlp_width * 2          # c_fc + c_proj bf16
+            + 4 * _MLP_TILE * d * 2        # x, y double-buffered
+            + _MLP_TILE * mlp_width * 4    # fp32 hidden tile
+            + _MLP_TILE * d * 4)           # fp32 out accumulate
+    return vmem < _VMEM_BUDGET
+
+
+def _act(name, v):
+    from xtagclip_tpu.ops.fused_mlp import _erf  # rational erf (no TPU lowering)
+
+    if name == "gelu":
+        return 0.5 * v * (1.0 + _erf(v * (2.0**-0.5)))
+    if name == "quick_gelu":
+        return v * jax.nn.sigmoid(1.702 * v)
+    raise ValueError(name)
+
+
+def _act_xla(name, v):
+    if name == "gelu":
+        return jax.nn.gelu(v, approximate=False)
+    if name == "quick_gelu":
+        return v * jax.nn.sigmoid(1.702 * v)
+    raise ValueError(name)
+
+
+@partial(jax.jit, static_argnames=("act_name", "eps"))
+def _fused_mlp_half_fwd(x, ln_scale, ln_bias, w1, b1, w2, b2,
+                        act_name: str, eps: float):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    orig_shape = x.shape
+    d = orig_shape[-1]
+    x2 = x.reshape(-1, d)
+    n = x2.shape[0]
+    h = w1.shape[1]
+    pad = (-n) % _MLP_TILE
+    if pad:
+        x2 = jnp.pad(x2, ((0, pad), (0, 0)))
+
+    def kernel(x_ref, g_ref, lb_ref, w1_ref, b1_ref, w2_ref, b2_ref, o_ref):
+        xb = x_ref[:]                                    # [T, D] bf16
+        x32 = xb.astype(jnp.float32)
+        mean = jnp.mean(x32, axis=-1, keepdims=True)
+        var = jnp.mean(jnp.square(x32 - mean), axis=-1, keepdims=True)
+        xn32 = (x32 - mean) * jax.lax.rsqrt(var + eps)
+        xn = (xn32 * g_ref[0].astype(jnp.float32)
+              + lb_ref[0].astype(jnp.float32)).astype(xb.dtype)
+        hid = jnp.dot(xn, w1_ref[:], preferred_element_type=jnp.float32)
+        hid = _act(act_name, hid + b1_ref[0].astype(jnp.float32))
+        y = jnp.dot(hid.astype(xb.dtype), w2_ref[:],
+                    preferred_element_type=jnp.float32)
+        y = y + b2_ref[0].astype(jnp.float32)
+        o_ref[:] = (x32 + y).astype(o_ref.dtype)
+
+    const = lambda i: (0, 0)  # noqa: E731 — weights resident across steps
+    out = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct(x2.shape, x.dtype),
+        grid=(x2.shape[0] // _MLP_TILE,),
+        in_specs=[
+            pl.BlockSpec((_MLP_TILE, d), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, d), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, d), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((d, h), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, h), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((h, d), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, d), const, memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((_MLP_TILE, d), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * x2.shape[0] * d * h,
+            bytes_accessed=2 * (2 * x2.shape[0] * d + 2 * d * h),
+            transcendentals=x2.shape[0] * h,
+        ),
+    )(x2, ln_scale.reshape(1, d), ln_bias.reshape(1, d), w1,
+      b1.reshape(1, h), w2, b2.reshape(1, d))
+    if pad:
+        out = out[:n]
+    return out.reshape(orig_shape)
+
+
+def _reference_mlp_chain(x, ln_scale, ln_bias, w1, b1, w2, b2,
+                         act_name: str, eps: float):
+    """Composed-op equivalent of the MLP half — backward pass + tests."""
+    x32 = x.astype(jnp.float32)
+    mean = jnp.mean(x32, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(x32 - mean), axis=-1, keepdims=True)
+    xn32 = (x32 - mean) * jax.lax.rsqrt(var + eps)
+    xn = (xn32 * ln_scale.astype(jnp.float32)
+          + ln_bias.astype(jnp.float32)).astype(x.dtype)
+    hid = (jnp.einsum("...d,dh->...h", xn, w1,
+                      preferred_element_type=jnp.float32)
+           + b1.astype(jnp.float32))
+    hid = _act_xla(act_name, hid)
+    y = (jnp.einsum("...h,hd->...d", hid.astype(x.dtype), w2,
+                    preferred_element_type=jnp.float32)
+         + b2.astype(jnp.float32))
+    return (x32 + y).astype(x.dtype)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(7, 8))
+def fused_mlp_half(x, ln_scale, ln_bias, w1, b1, w2, b2,
+                   act_name: str, eps: float = 1e-5):
+    """y = x + c_proj(act(c_fc(LN(x)))) in one Pallas kernel."""
+    return _fused_mlp_half_fwd(x, ln_scale, ln_bias, w1, b1, w2, b2,
+                               act_name, eps)
+
+
+def _mlp_fwd(x, ln_scale, ln_bias, w1, b1, w2, b2, act_name, eps):
+    out = _fused_mlp_half_fwd(x, ln_scale, ln_bias, w1, b1, w2, b2,
+                              act_name, eps)
+    return out, (x, ln_scale, ln_bias, w1, b1, w2, b2)
+
+
+def _mlp_bwd(act_name, eps, res, g):
+    x, ln_scale, ln_bias, w1, b1, w2, b2 = res
+    _, vjp = jax.vjp(
+        lambda *a: _reference_mlp_chain(*a, act_name=act_name, eps=eps),
+        x, ln_scale, ln_bias, w1, b1, w2, b2,
+    )
+    return vjp(g)
+
+
+fused_mlp_half.defvjp(_mlp_fwd, _mlp_bwd)
+
+
 def _reference_chain(x, ln_scale, ln_bias, wqkv, bqkv, wout, bout,
                      num_heads: int, eps: float):
     """The composed-op equivalent (what the kernel replaces) — used for the
