@@ -443,7 +443,12 @@ class ResidualAttentionBlock(nn.Module):
     def __call__(self, x, k_x=None, v_x=None, attn_mask=None,
                  deterministic=True):
         d = x.shape[-1]
-        if (not self.is_cross_attention and k_x is None and v_x is None
+        # deterministic gates the fused path to eval/serving: the train
+        # step (deterministic=False) stays on the plain XLA path — under
+        # differentiation the kernels' custom_vjp recompute costs more than
+        # the forward win (measured -3.5..-5.7% on the ViT-B train step)
+        if (deterministic
+                and not self.is_cross_attention and k_x is None and v_x is None
                 and attn_mask is None and self.ls_init_value is None
                 and self.dtype == jnp.bfloat16
                 and fused_attn_block.enabled()

@@ -298,8 +298,9 @@ def fused_mlp_half(x, ln_scale, ln_bias, w1, b1, w2, b2,
 
 
 def _mlp_fwd(x, ln_scale, ln_bias, w1, b1, w2, b2, act_name, eps):
-    out = _fused_mlp_half_fwd(x, ln_scale, ln_bias, w1, b1, w2, b2,
-                              act_name, eps)
+    # chain under differentiation — same rationale as _fwd above
+    out = _reference_mlp_chain(x, ln_scale, ln_bias, w1, b1, w2, b2,
+                               act_name, eps)
     return out, (x, ln_scale, ln_bias, w1, b1, w2, b2)
 
 
@@ -354,8 +355,13 @@ def fused_attn_half(x, ln_scale, ln_bias, wqkv, bqkv, wout, bout,
 
 
 def _fwd(x, ln_scale, ln_bias, wqkv, bqkv, wout, bout, num_heads, eps):
-    out = _fused_attn_half_fwd(x, ln_scale, ln_bias, wqkv, bqkv, wout, bout,
-                               num_heads, eps)
+    # Under differentiation (training), run the composed chain instead of
+    # the kernel: the custom_vjp backward recomputes the chain anyway, so a
+    # kernel forward would pay double forward — measured -5.7% on the
+    # ViT-B train step. Training is therefore exactly the XLA path; the
+    # kernel serves the no-grad (eval/serving) path where it wins +52-62%.
+    out = _reference_chain(x, ln_scale, ln_bias, wqkv, bqkv, wout, bout,
+                           num_heads, eps)
     return out, (x, ln_scale, ln_bias, wqkv, bqkv, wout, bout)
 
 
