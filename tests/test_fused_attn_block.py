@@ -39,7 +39,8 @@ def test_kernel_matches_composed_chain():
     x, g, b_, wqkv, bqkv, wout, bout = _inputs()
     ref = fab._reference_chain(x, g, b_, wqkv, bqkv, wout, bout, 2, 1e-5)
     with _interpret():
-        out = fab.fused_attn_half(x, g, b_, wqkv, bqkv, wout, bout, 2, 1e-5)
+        out = fab.fused_attn_half(x, g, b_, wqkv, bqkv, wout, bout, None,
+                                  2, 1e-5)
     np.testing.assert_array_equal(np.asarray(out, np.float32),
                                   np.asarray(ref, np.float32))
 
@@ -47,16 +48,14 @@ def test_kernel_matches_composed_chain():
 def test_gradients_match_composed_chain():
     x, g, b_, wqkv, bqkv, wout, bout = _inputs(b=1, l=16, d=128, seed=1)
 
-    def loss(fn, *args):
-        y = fn(*args, 2, 1e-5).astype(jnp.float32)
-        return (y * y).sum()
-
     args = (x, g, b_, wqkv, bqkv, wout, bout)
-    g_ref = jax.grad(lambda *a: loss(fab._reference_chain, *a),
-                     argnums=tuple(range(7)))(*args)
+    g_ref = jax.grad(
+        lambda *a: (fab._reference_chain(*a, 2, 1e-5).astype(jnp.float32)
+                    ** 2).sum(), argnums=tuple(range(7)))(*args)
     with _interpret():
-        g_out = jax.grad(lambda *a: loss(fab.fused_attn_half, *a),
-                         argnums=tuple(range(7)))(*args)
+        g_out = jax.grad(
+            lambda *a: (fab.fused_attn_half(*a, None, 2, 1e-5).astype(
+                jnp.float32) ** 2).sum(), argnums=tuple(range(7)))(*args)
     for a, r in zip(g_out, g_ref):
         np.testing.assert_allclose(np.asarray(a, np.float32),
                                    np.asarray(r, np.float32),
@@ -171,6 +170,23 @@ def test_mlp_gate():
     assert not fab.supported_mlp((256, 50, 768), 3072, "relu")
     assert not fab.supported_mlp((256, 50, 768), 3072, "quick_gelu",
                                  jnp.float32)
+
+
+def test_causal_mask_matches_composed_chain():
+    x, g, b_, wqkv, bqkv, wout, bout = _inputs(b=2, l=24, d=128, seed=5)
+    causal = jnp.triu(jnp.full((24, 24), -jnp.inf, jnp.float32), k=1)
+    ref = fab._reference_chain(x, g, b_, wqkv, bqkv, wout, bout, 2, 1e-5,
+                               mask=causal)
+    with _interpret():
+        out = fab.fused_attn_half(x, g, b_, wqkv, bqkv, wout, bout, causal,
+                                  2, 1e-5)
+    np.testing.assert_array_equal(np.asarray(out, np.float32),
+                                  np.asarray(ref, np.float32))
+
+
+def test_mask_gate():
+    assert fab.supported((64, 77, 512), 8, mask_shape=(77, 77))
+    assert not fab.supported((64, 77, 512), 8, mask_shape=(77, 64))
 
 
 def test_env_gate(monkeypatch):

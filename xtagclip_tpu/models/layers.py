@@ -447,20 +447,30 @@ class ResidualAttentionBlock(nn.Module):
         # step (deterministic=False) stays on the plain XLA path — under
         # differentiation the kernels' custom_vjp recompute costs more than
         # the forward win (measured -3.5..-5.7% on the ViT-B train step)
+        # 2-D additive masks (the text tower's causal mask) ride into the
+        # kernel; bool masks are converted; >2-D masks (CLIPA padding) stay
+        # on the XLA path
+        fmask = None
+        fmask_ok = attn_mask is None
+        if attn_mask is not None and attn_mask.ndim == 2:
+            fmask_ok = True
+            fmask = (jnp.where(attn_mask, jnp.float32(-jnp.inf), 0.0)
+                     if attn_mask.dtype == jnp.bool_ else attn_mask)
         if (deterministic
                 and not self.is_cross_attention and k_x is None and v_x is None
-                and attn_mask is None and self.ls_init_value is None
+                and fmask_ok and self.ls_init_value is None
                 and self.dtype == jnp.bfloat16
                 and fused_attn_block.enabled()
-                and fused_attn_block.supported(x.shape, self.num_heads,
-                                               self.dtype)):
+                and fused_attn_block.supported(
+                    x.shape, self.num_heads, self.dtype,
+                    None if fmask is None else fmask.shape)):
             g, bln = _LNParams(self.param_dtype, name="ln_1")(d)
             kqkv, bqkv, kout, bout = _MHAParams(
                 e=d, param_dtype=self.param_dtype, name="attn")()
             x = fused_attn_block.fused_attn_half(
                 x.astype(self.dtype), g, bln,
                 kqkv.astype(self.dtype), bqkv, kout.astype(self.dtype),
-                bout, self.num_heads, self.norm_eps)
+                bout, fmask, self.num_heads, self.norm_eps)
             mlp_width = int(d * self.mlp_ratio)
             act_name = {"gelu_exact": "gelu", "quick_gelu": "quick_gelu"
                         }.get(getattr(self.act, "__name__", ""))

@@ -59,7 +59,8 @@ def enabled(default: str = "auto") -> bool:
     return jax.default_backend() == "tpu" and jax.device_count() == 1
 
 
-def supported(shape, num_heads: int, dtype=jnp.bfloat16) -> bool:
+def supported(shape, num_heads: int, dtype=jnp.bfloat16,
+              mask_shape=None) -> bool:
     """[B, L, D] streams the kernel takes — the set verified ON-CHIP
     (PERF.md round 3, "the whole-block kernel"):
 
@@ -82,6 +83,8 @@ def supported(shape, num_heads: int, dtype=jnp.bfloat16) -> bool:
     _, l, d = shape
     if dtype != jnp.bfloat16:
         return False
+    if mask_shape is not None and tuple(mask_shape) != (l, l):
+        return False
     if d % _LANE != 0 or l < 8:
         return False
     dh = d // num_heads
@@ -99,7 +102,7 @@ def supported(shape, num_heads: int, dtype=jnp.bfloat16) -> bool:
 
 @partial(jax.jit, static_argnames=("num_heads", "eps"))
 def _fused_attn_half_fwd(x, ln_scale, ln_bias, wqkv, bqkv, wout, bout,
-                         num_heads: int, eps: float):
+                         mask, num_heads: int, eps: float):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -108,7 +111,8 @@ def _fused_attn_half_fwd(x, ln_scale, ln_bias, wqkv, bqkv, wout, bout,
     scale = dh**-0.5
 
     def kernel(x_ref, g_ref, lb_ref, wqkv_ref, bqkv_ref, wout_ref, bout_ref,
-               o_ref):
+               *rest):
+        (mask_ref, o_ref) = rest if mask is not None else (None, rest[0])
         xb = x_ref[0]                                   # [L, D] bf16
         x32 = xb.astype(jnp.float32)
         mean = jnp.mean(x32, axis=-1, keepdims=True)
@@ -135,6 +139,8 @@ def _fused_attn_half_fwd(x, ln_scale, ln_bias, wqkv, bqkv, wout, bout,
                 q[:, sl], k[:, sl], (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
             ) * scale                                    # [L, L] fp32
+            if mask_ref is not None:
+                s = s + mask_ref[:].astype(jnp.float32)
             p = jax.nn.softmax(s, axis=-1)
             o = jnp.dot(p.astype(xb.dtype), v[:, sl],
                         preferred_element_type=jnp.float32)
@@ -146,20 +152,27 @@ def _fused_attn_half_fwd(x, ln_scale, ln_bias, wqkv, bqkv, wout, bout,
         o_ref[0] = (x32 + y).astype(o_ref.dtype)
 
     const = lambda i: (0, 0)  # noqa: E731 — weights resident across steps
+    in_specs = [
+        pl.BlockSpec((1, l, d), lambda i: (i, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, d), const, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, d), const, memory_space=pltpu.VMEM),
+        pl.BlockSpec((d, 3 * d), const, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 3 * d), const, memory_space=pltpu.VMEM),
+        pl.BlockSpec((d, d), const, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, d), const, memory_space=pltpu.VMEM),
+    ]
+    operands = [x, ln_scale.reshape(1, d), ln_bias.reshape(1, d), wqkv,
+                bqkv.reshape(1, 3 * d), wout, bout.reshape(1, d)]
+    if mask is not None:
+        in_specs.append(pl.BlockSpec((l, l), const,
+                                     memory_space=pltpu.VMEM))
+        operands.append(mask.astype(jnp.float32))
     return pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((b, l, d), x.dtype),
         grid=(b,),
-        in_specs=[
-            pl.BlockSpec((1, l, d), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, d), const, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, d), const, memory_space=pltpu.VMEM),
-            pl.BlockSpec((d, 3 * d), const, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 3 * d), const, memory_space=pltpu.VMEM),
-            pl.BlockSpec((d, d), const, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, d), const, memory_space=pltpu.VMEM),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((1, l, d), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM),
         cost_estimate=pl.CostEstimate(
@@ -167,8 +180,7 @@ def _fused_attn_half_fwd(x, ln_scale, ln_bias, wqkv, bqkv, wout, bout,
             bytes_accessed=2 * (2 * b * l * d + 4 * d * d),
             transcendentals=b * l * l * num_heads,
         ),
-    )(x, ln_scale.reshape(1, d), ln_bias.reshape(1, d), wqkv,
-      bqkv.reshape(1, 3 * d), wout, bout.reshape(1, d))
+    )(*operands)
 
 
 _MLP_TILE = 256
@@ -317,7 +329,7 @@ fused_mlp_half.defvjp(_mlp_fwd, _mlp_bwd)
 
 
 def _reference_chain(x, ln_scale, ln_bias, wqkv, bqkv, wout, bout,
-                     num_heads: int, eps: float):
+                     num_heads: int, eps: float, mask=None):
     """The composed-op equivalent (what the kernel replaces) — used for the
     backward pass (autodiff through this matches the kernel's forward) and
     for correctness tests."""
@@ -336,6 +348,8 @@ def _reference_chain(x, ln_scale, ln_bias, wqkv, bqkv, wout, bout,
     split = lambda t: t.reshape(b, l, num_heads, dh)  # noqa: E731
     s = jnp.einsum("bqhe,bkhe->bhqk", split(q), split(k),
                    preferred_element_type=jnp.float32) * dh**-0.5
+    if mask is not None:
+        s = s + mask.astype(jnp.float32)
     p = jax.nn.softmax(s, axis=-1)
     o = jnp.einsum("bhqk,bkhe->bqhe", p.astype(x.dtype), split(v),
                    preferred_element_type=jnp.float32)
@@ -346,32 +360,37 @@ def _reference_chain(x, ln_scale, ln_bias, wqkv, bqkv, wout, bout,
     return (x32 + y).astype(x.dtype)
 
 
-@partial(jax.custom_vjp, nondiff_argnums=(7, 8))
+@partial(jax.custom_vjp, nondiff_argnums=(8, 9))
 def fused_attn_half(x, ln_scale, ln_bias, wqkv, bqkv, wout, bout,
-                    num_heads: int, eps: float = 1e-5):
-    """y = x + out_proj(MHA(LN(x))) in one Pallas kernel (see module doc)."""
+                    mask=None, num_heads: int = 8, eps: float = 1e-5):
+    """y = x + out_proj(MHA(LN(x))) in one Pallas kernel (see module doc).
+
+    mask: optional additive [L, L] float mask (e.g. causal) applied to the
+    fp32 scores in-kernel — the text-tower case."""
     return _fused_attn_half_fwd(x, ln_scale, ln_bias, wqkv, bqkv, wout,
-                                bout, num_heads, eps)
+                                bout, mask, num_heads, eps)
 
 
-def _fwd(x, ln_scale, ln_bias, wqkv, bqkv, wout, bout, num_heads, eps):
+def _fwd(x, ln_scale, ln_bias, wqkv, bqkv, wout, bout, mask, num_heads,
+         eps):
     # Under differentiation (training), run the composed chain instead of
     # the kernel: the custom_vjp backward recomputes the chain anyway, so a
     # kernel forward would pay double forward — measured -5.7% on the
     # ViT-B train step. Training is therefore exactly the XLA path; the
     # kernel serves the no-grad (eval/serving) path where it wins +52-62%.
     out = _reference_chain(x, ln_scale, ln_bias, wqkv, bqkv, wout, bout,
-                           num_heads, eps)
-    return out, (x, ln_scale, ln_bias, wqkv, bqkv, wout, bout)
+                           num_heads, eps, mask)
+    return out, (x, ln_scale, ln_bias, wqkv, bqkv, wout, bout, mask)
 
 
 def _bwd(num_heads, eps, res, g):
-    x, ln_scale, ln_bias, wqkv, bqkv, wout, bout = res
+    x, ln_scale, ln_bias, wqkv, bqkv, wout, bout, mask = res
     _, vjp = jax.vjp(
-        lambda *a: _reference_chain(*a, num_heads=num_heads, eps=eps),
+        lambda *a: _reference_chain(*a, num_heads=num_heads, eps=eps,
+                                    mask=mask),
         x, ln_scale, ln_bias, wqkv, bqkv, wout, bout,
     )
-    return vjp(g)
+    return vjp(g) + (None,)
 
 
 fused_attn_half.defvjp(_fwd, _bwd)
