@@ -189,6 +189,33 @@ def test_mask_gate():
     assert not fab.supported((64, 77, 512), 8, mask_shape=(77, 64))
 
 
+def test_shard_map_composition():
+    """The multi-device recipe: a pallas_call is not auto-shardable under
+    GSPMD (hence enabled() requires device_count == 1), but under
+    `jax.shard_map` over the data axis the kernel runs per-shard and
+    matches the unsharded chain exactly — batch-parallel multi-chip eval
+    can opt in this way (XTAG_FUSED_BLOCK=1 inside the shard_map region)."""
+    from jax.sharding import Mesh, PartitionSpec as P
+
+    devs = jax.devices()
+    if len(devs) < 2:
+        pytest.skip("needs the multi-device CPU mesh")
+    x, g, b_, wqkv, bqkv, wout, bout = _inputs(b=len(devs), l=16, d=128,
+                                               seed=6)
+    mesh = Mesh(np.array(devs), ("data",))
+    fn = jax.shard_map(
+        lambda x, g, b, wq, bq, wo, bo: fab.fused_attn_half(
+            x, g, b, wq, bq, wo, bo, None, 2, 1e-5),
+        mesh=mesh,
+        in_specs=(P("data"), P(), P(), P(), P(), P(), P()),
+        out_specs=P("data"), check_vma=False)
+    ref = fab._reference_chain(x, g, b_, wqkv, bqkv, wout, bout, 2, 1e-5)
+    with _interpret():
+        out = jax.jit(fn)(x, g, b_, wqkv, bqkv, wout, bout)
+    np.testing.assert_array_equal(np.asarray(out, np.float32),
+                                  np.asarray(ref, np.float32))
+
+
 def test_env_gate(monkeypatch):
     auto = (jax.default_backend() == "tpu" and jax.device_count() == 1)
     monkeypatch.delenv("XTAG_FUSED_BLOCK", raising=False)

@@ -28,9 +28,11 @@ Training passes through a ``custom_vjp`` whose backward is the standard
 XLA matmul chain with recomputation (the kernel targets the eval/serving
 path; the backward matches autodiff of the composed ops).
 
-Gate: ``XTAG_FUSED_BLOCK`` (``1`` opt-in / ``0`` off / ``auto`` = TPU), the
-same convention as XTAG_FUSED_MLP / XTAG_FLASH_ATTN. Default is set by the
-measured in-model outcome — see PERF.md.
+Gate: ``XTAG_FUSED_BLOCK`` (``1`` opt-in / ``0`` off / ``auto`` =
+single-device TPU). The default IS ``auto`` — unlike the earlier partial
+fusions, this kernel wins on every verified tower with bit-identical
+outputs (PERF.md "the whole-block kernel"), so eval/serving get it out of
+the box; the train step (deterministic=False) never takes it.
 """
 
 from __future__ import annotations
@@ -85,7 +87,7 @@ def supported(shape, num_heads: int, dtype=jnp.bfloat16,
         return False
     if mask_shape is not None and tuple(mask_shape) != (l, l):
         return False
-    if d % _LANE != 0 or l < 8:
+    if d % _LANE != 0 or l < 8 or num_heads <= 0 or d % num_heads != 0:
         return False
     dh = d // num_heads
     if dh not in (64, 80, 128):
