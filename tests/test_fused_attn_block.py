@@ -189,6 +189,71 @@ def test_mask_gate():
     assert not fab.supported((64, 77, 512), 8, mask_shape=(77, 64))
 
 
+def test_alignment_pad_policy():
+    # ViT-H/14 @224 GAP: 256 tokens, dh=80 -> pad 1 into the verified set
+    assert fab.alignment_pad(256, 1280, 16) == 1
+    # ViT-H @336 GAP
+    assert fab.alignment_pad(576, 1280, 16) == 1
+    # cls towers already verified — no pad
+    assert fab.alignment_pad(257, 1280, 16) == 0
+    # dh != 80 never pads (those lengths compile directly)
+    assert fab.alignment_pad(256, 1024, 16) == 0
+    assert fab.alignment_pad(50, 768, 12) == 0
+
+
+def test_alignment_mask_hides_pad_keys():
+    m = np.asarray(fab.alignment_mask(4, 2))
+    assert m.shape == (6, 6)
+    assert np.all(m[:, :4] == 0.0)
+    assert np.all(np.isneginf(m[:, 4:]))
+
+
+def test_alignment_pad_kernel_exactness():
+    """Padded+masked kernel == unpadded chain for the real tokens."""
+    x, g, b_, wqkv, bqkv, wout, bout = _inputs(b=2, l=16, d=128, seed=7)
+    ref = fab._reference_chain(x, g, b_, wqkv, bqkv, wout, bout, 2, 1e-5)
+    pad_tok = jnp.mean(x, axis=1, keepdims=True)
+    xp = jnp.concatenate([x, pad_tok], axis=1)
+    mask = fab.alignment_mask(16, 1)
+    with _interpret():
+        out = fab.fused_attn_half(xp, g, b_, wqkv, bqkv, wout, bout, mask,
+                                  2, 1e-5)[:, :16]
+    np.testing.assert_array_equal(np.asarray(out, np.float32),
+                                  np.asarray(ref, np.float32))
+
+
+def test_vit_alignment_pad_plumbing(monkeypatch):
+    """The VisionTransformer pad/mask/slice plumbing reproduces the no-pad
+    output exactly (exercised through the XLA fallback so it runs fast on
+    CPU; the kernel-side exactness is the test above)."""
+    from xtagclip_tpu.factory import create_model
+
+    lb = create_model(
+        "ViT-B-32", precision="bf16", skip_init=True,
+        vision_cfg={"width": 128, "layers": 2, "heads": 2, "patch_size": 16,
+                    "image_size": 64, "no_class_token": True,
+                    "pool_type": "avg", "final_ln_after_pool": True},
+        text_cfg={"width": 64, "layers": 2, "heads": 2, "vocab_size": 512})
+    v = lb.module.init(jax.random.PRNGKey(0),
+                       jnp.zeros((1, 64, 64, 3), jnp.bfloat16),
+                       jnp.zeros((1, 77), jnp.int32), deterministic=True)
+    x = jnp.asarray(np.random.default_rng(8).standard_normal((2, 64, 64, 3)),
+                    jnp.bfloat16)
+
+    def enc(p, x):
+        f, _ = lb.module.apply({"params": p}, x, True,
+                               method=lb.module.encode_image)
+        return np.asarray(f, np.float32)
+
+    a = enc(v["params"], x)
+    monkeypatch.setattr(fab, "enabled", lambda *A, **K: True)
+    monkeypatch.setattr(fab, "alignment_pad",
+                        lambda l, d, h: 1 if l % 16 == 0 else 0)
+    monkeypatch.setattr(fab, "supported", lambda *A, **K: False)
+    b = enc(v["params"], x)
+    np.testing.assert_array_equal(a, b)
+
+
 def test_shard_map_composition():
     """The multi-device recipe: a pallas_call is not auto-shardable under
     GSPMD (hence enabled() requires device_count == 1), but under

@@ -29,6 +29,7 @@ from xtagclip_tpu.models.layers import (
     patch_dropout,
 )
 from xtagclip_tpu.models.pos_embed import get_2d_sincos_pos_embed
+from xtagclip_tpu.ops import fused_attn_block
 
 Dtype = Any
 
@@ -160,6 +161,26 @@ class VisionTransformer(nn.Module):
         if not self.no_ln_pre:
             x = LayerNorm(eps=self.norm_eps, name="ln_pre")(x)
 
+        # dh==80 alignment pad (ops/fused_attn_block.alignment_pad): the
+        # ViT-H GAP lengths crash the fused kernel's compiler at aligned L;
+        # appending masked tokens moves the shape into the verified set with
+        # EXACTLY the unpadded numerics (pad keys additively masked, pad
+        # rows sliced off below)
+        fused_pad = 0
+        attn_mask = None
+        if (deterministic and intermediates_cfg is None
+                and not self.attentional_pool
+                and self.dtype == jnp.bfloat16
+                and fused_attn_block.enabled()):
+            fused_pad = fused_attn_block.alignment_pad(
+                x.shape[1], self.width, self.heads)
+        if fused_pad:
+            pad_tok = jnp.mean(x, axis=1, keepdims=True)
+            x = jnp.concatenate(
+                [x, jnp.repeat(pad_tok, fused_pad, axis=1)], axis=1)
+            attn_mask = fused_attn_block.alignment_mask(
+                x.shape[1] - fused_pad, fused_pad)
+
         transformer = Transformer(
             width=self.width, layers=self.layers, heads=self.heads,
             mlp_ratio=self.mlp_ratio, ls_init_value=self.ls_init_value,
@@ -180,7 +201,10 @@ class VisionTransformer(nn.Module):
             x, inters = transformer(x, deterministic=deterministic,
                                     return_intermediates=True)
         else:
-            x = transformer(x, deterministic=deterministic)
+            x = transformer(x, attn_mask=attn_mask,
+                            deterministic=deterministic)
+        if fused_pad:
+            x = x[:, :x.shape[1] - fused_pad]
 
         tokens = x
         if self.attentional_pool:

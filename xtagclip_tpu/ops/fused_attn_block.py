@@ -102,6 +102,32 @@ def supported(shape, num_heads: int, dtype=jnp.bfloat16,
     return vmem < _VMEM_BUDGET
 
 
+def alignment_pad(l: int, d: int, num_heads: int) -> int:
+    """Masked-token padding that converts a gate-rejected length into a
+    verified one. The dh==80 towers (ViT-H/14) crash the Mosaic compiler at
+    aligned lengths (L % 16 == 0, e.g. the 256/576-token GAP variants) but
+    compile at the cls lengths (L % 16 == 1). Appending p tokens whose key
+    column is additively masked to -inf reproduces the unpadded
+    computation EXACTLY for the real tokens (their softmax never sees the
+    pad; the pad rows are sliced off by the caller) while moving the shape
+    into the verified set. Returns p (0 = no pad needed/possible)."""
+    if d % _LANE or num_heads <= 0 or d % num_heads:
+        return 0
+    if d // num_heads != 80 or l % 16 == 1:
+        return 0
+    p = (1 - l) % 16
+    if not supported((1, l + p, d), num_heads, mask_shape=(l + p, l + p)):
+        return 0
+    return p
+
+
+def alignment_mask(l: int, pad: int) -> jnp.ndarray:
+    """Additive [l+pad, l+pad] mask hiding the pad keys from every query."""
+    lp = l + pad
+    col = jax.lax.broadcasted_iota(jnp.int32, (lp, lp), 1)
+    return jnp.where(col >= l, -jnp.inf, 0.0).astype(jnp.float32)
+
+
 @partial(jax.jit, static_argnames=("num_heads", "eps"))
 def _fused_attn_half_fwd(x, ln_scale, ln_bias, wqkv, bqkv, wout, bout,
                          mask, num_heads: int, eps: float):
