@@ -56,6 +56,26 @@ def _init_watchdog(timeout_s: float):
     return ready
 
 
+def _run_watchdog(deadline_s: float, partial: dict):
+    """Hard backstop for the whole run: the soft budget is only checked
+    BETWEEN sections, so a single slow section (a cold ViT-L remote compile
+    is 2-6 min) could overshoot the driver's kill window and lose the whole
+    JSON. At deadline, print whatever has been measured so far (the headline
+    lands in `partial` seconds after it is timed) and exit."""
+    import threading
+
+    done = threading.Event()
+
+    def watch():
+        if not done.wait(deadline_s):
+            partial.setdefault("error", "hard deadline hit; partial results")
+            print(json.dumps(partial), flush=True)
+            os._exit(3)
+
+    threading.Thread(target=watch, daemon=True).start()
+    return done
+
+
 def main():
     backend_ready = _init_watchdog(
         float(os.environ.get("XTAG_BENCH_INIT_TIMEOUT_S", "600")))
@@ -84,6 +104,14 @@ def main():
     # driver-tracked train/xtag/pipeline sections.
     t_start = time.perf_counter()
     budget_s = float(os.environ.get("XTAG_BENCH_BUDGET_S", "900"))
+
+    # headline contract fields first — the hard watchdog prints this dict
+    # verbatim if the run overshoots, so it must always be a valid record
+    partial = {
+        "metric": "ViT-B images/sec/chip (preprocess+encode+sim)",
+        "value": None, "unit": "images/sec/chip", "vs_baseline": None,
+    }
+    run_done = _run_watchdog(budget_s + 300.0, partial)
 
     def over_budget():
         return time.perf_counter() - t_start > budget_s
@@ -164,6 +192,8 @@ def main():
     np.asarray(fn(params, x_dev, class_w))
     dt = time.perf_counter() - t0
     imgs_per_sec = batch * K / dt
+    partial["value"] = round(imgs_per_sec, 1)
+    partial["vs_baseline"] = round(imgs_per_sec / 5000.0, 3)
     mark("headline: measured")
 
     # p50 per-image classify latency (batch 1, full host sync per call;
@@ -186,6 +216,7 @@ def main():
         mark("p50: measured")
     except Exception as e:  # noqa: BLE001
         p50_ms = f"unavailable: {type(e).__name__}"
+    partial["p50_classify_latency_ms"] = p50_ms
 
     # train-step throughput (reference headline telemetry: samples/s,
     # train_other.py:251-259): full contrastive train step — forward both
@@ -244,6 +275,7 @@ def main():
         mark("train: measured")
     except Exception as e:  # noqa: BLE001
         train_samples_per_s = f"unavailable: {type(e).__name__}"
+    partial["train_samples_per_sec_chip"] = train_samples_per_s
 
     # analytic train-step MFU (FLOPs = 2*MACs, fwd+bwd = 3x fwd, matmuls
     # only): states what fraction of the chip the TRAIN path achieves —
@@ -478,14 +510,17 @@ def main():
         # configuration, for from-scratch CLIPA-GAP recipes
         ("ViT-H-14-GAP-noCLS", dict(lbatch=64, k=6, no_cls=True)),
     ):
+        # ViT-L is driver-tracked and budget-exempt; `continue` (not
+        # `break`) so the exemption holds regardless of tuple order
         if over_budget() and name != "ViT-L-14":
-            break
+            continue
         try:
             mark(f"large_tower: {name} start")
             large_tower[name] = tower_rate(
                 name.split("@")[0].replace("-GAP-noCLS", "-CL32-GAP"), **cfg)
         except Exception as e:  # noqa: BLE001
             large_tower[name] = f"unavailable: {type(e).__name__}"
+        partial["large_tower"] = dict(large_tower)
 
     # host JPEG-decode rate (the data plane the device pipeline number
     # excludes): native threaded libjpeg decode+resize+crop to 224.
@@ -543,6 +578,7 @@ def main():
                  "reported separately"),
     }
     mark("h2d: measured")
+    run_done.set()
     print(json.dumps(result))
 
 
