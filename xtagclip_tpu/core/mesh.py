@@ -21,19 +21,63 @@ DATA_AXIS = "data"
 MODEL_AXIS = "model"
 
 
-def init_distributed(args=None) -> dict:
-    """Multi-host init from env when launched under a multi-process runtime.
+def world_info_from_env() -> Tuple[int, int, int]:
+    """(local_rank, global_rank, world_size) from the launcher env.
 
-    Mirrors init_distributed_device's env sniffing contract: honours
-    coordinator/process-count env vars when present; single-process otherwise.
-    Mutates args.{distributed,world_size,rank,local_rank} when args given
-    (reference distributed.py:93-113 contract).
+    Mirrors the reference's launcher-family sniffing priority exactly
+    (distributed.py:72-90): torchrun-style first, then Intel MPI PMI, then
+    SLURM, then Open MPI — so a job script written for the reference under
+    any of those launchers resolves to the same process identity here.
     """
+    local_rank = 0
+    for v in ("LOCAL_RANK", "MPI_LOCALRANKID", "SLURM_LOCALID",
+              "OMPI_COMM_WORLD_LOCAL_RANK"):
+        if v in os.environ:
+            local_rank = int(os.environ[v])
+            break
+    global_rank = 0
+    for v in ("RANK", "PMI_RANK", "SLURM_PROCID", "OMPI_COMM_WORLD_RANK"):
+        if v in os.environ:
+            global_rank = int(os.environ[v])
+            break
+    world_size = 1
+    for v in ("WORLD_SIZE", "PMI_SIZE", "SLURM_NTASKS",
+              "OMPI_COMM_WORLD_SIZE"):
+        if v in os.environ:
+            world_size = int(os.environ[v])
+            break
+    return local_rank, global_rank, world_size
+
+
+def coordinator_from_env() -> Optional[str]:
+    """Coordinator address:port from env: JAX-native vars first, then the
+    torch-style MASTER_ADDR/MASTER_PORT pair (reference dist_url contract,
+    distributed.py env:// default)."""
     coord = os.environ.get("JAX_COORDINATOR_ADDRESS") or os.environ.get(
         "COORDINATOR_ADDRESS"
     )
-    nproc = os.environ.get("JAX_NUM_PROCESSES") or os.environ.get("WORLD_SIZE")
-    pid = os.environ.get("JAX_PROCESS_ID") or os.environ.get("RANK")
+    if coord:
+        return coord
+    addr = os.environ.get("MASTER_ADDR")
+    if addr:
+        return f"{addr}:{os.environ.get('MASTER_PORT', '29500')}"
+    return None
+
+
+def init_distributed(args=None) -> dict:
+    """Multi-host init from env when launched under a multi-process runtime.
+
+    Mirrors init_distributed_device's env sniffing contract
+    (reference distributed.py:54-113): honours JAX-native vars first, then
+    the torchrun / PMI / SLURM / Open MPI families via
+    ``world_info_from_env``; single-process otherwise. Mutates
+    args.{distributed,world_size,rank,local_rank} when args given.
+    """
+    coord = coordinator_from_env()
+    local_rank, env_rank, env_world = world_info_from_env()
+    nproc = os.environ.get("JAX_NUM_PROCESSES") or (
+        str(env_world) if env_world > 1 else None)
+    pid = os.environ.get("JAX_PROCESS_ID") or str(env_rank)
     if coord and nproc and int(nproc) > 1:
         jax.distributed.initialize(
             coordinator_address=coord,
@@ -61,7 +105,7 @@ def init_distributed(args=None) -> dict:
         args.world_size = info["world_size"]
         args.device_count = info["device_count"]
         args.rank = info["rank"]
-        args.local_rank = 0
+        args.local_rank = local_rank
     return info
 
 
