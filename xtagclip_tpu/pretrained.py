@@ -67,15 +67,65 @@ def default_cache_dir() -> str:
     )
 
 
-def download_pretrained_from_url(url: str, cache_dir: Optional[str] = None) -> str:
+def expected_sha256_for_url(url: str, explicit: str = "") -> str:
+    """Expected sha256 (full hash or prefix) for a weight URL.
+
+    An explicit registry ``sha256`` field wins; otherwise the hash rides
+    in the URL itself, following the reference conventions
+    (pretrained.py:672-677): openaipublic URLs carry the full hash as the
+    second-to-last path component; mlfoundations release filenames end in
+    ``-<hexprefix>``. Unknown hosts -> "" (no verification possible)."""
+    if explicit:
+        return explicit
+    path = url.split("?")[0]
+    if "openaipublic" in url:
+        return path.split("/")[-2]
+    if "mlfoundations" in url:
+        stem = os.path.splitext(os.path.basename(path))[0]
+        suffix = stem.rsplit("-", 1)[-1]
+        if len(suffix) >= 6 and all(c in "0123456789abcdef" for c in suffix):
+            return suffix
+    return ""
+
+
+def _file_sha256(path: str) -> str:
+    h = hashlib.sha256()
+    with open(path, "rb") as f:
+        for chunk in iter(lambda: f.read(1 << 20), b""):
+            h.update(chunk)
+    return h.hexdigest()
+
+
+def download_pretrained_from_url(url: str, cache_dir: Optional[str] = None,
+                                 expected_sha256: str = "") -> str:
+    """Fetch (or reuse cached) weights, verifying integrity when a sha256
+    is known — reference pretrained.py:663-706. A cached file that fails
+    the check is re-downloaded once; a fresh download that fails raises."""
     cache_dir = cache_dir or default_cache_dir()
     os.makedirs(cache_dir, exist_ok=True)
     filename = os.path.basename(url.split("?")[0])
     target = os.path.join(cache_dir, filename)
+    expected = expected_sha256_for_url(url, expected_sha256)
     if os.path.exists(target):
-        return target
+        if not os.path.isfile(target):
+            raise RuntimeError(f"{target} exists and is not a regular file")
+        if not expected or _file_sha256(target).startswith(expected):
+            return target
+        logging.warning(
+            "%s exists but its sha256 does not match %s; re-downloading",
+            target, expected)
+        os.remove(target)
     logging.info("downloading %s -> %s", url, target)
-    urllib.request.urlretrieve(url, target)  # fails cleanly offline
+    # download to a temp name, verify, then move atomically into place so
+    # a killed download never leaves a valid-looking cache entry
+    tmp = target + ".part"
+    urllib.request.urlretrieve(url, tmp)  # fails cleanly offline
+    if expected and not _file_sha256(tmp).startswith(expected):
+        os.remove(tmp)
+        raise RuntimeError(
+            f"downloaded {url} but its sha256 does not match the expected "
+            f"{expected} — corrupted or tampered download")
+    os.replace(tmp, target)
     return target
 
 
@@ -125,5 +175,6 @@ def resolve_pretrained(model: str, pretrained: str,
         repo, _, fname = hub.rpartition("/")
         return download_pretrained_from_hf(repo, fname or None, cache_dir)
     if cfg.get("url"):
-        return download_pretrained_from_url(cfg["url"], cache_dir)
+        return download_pretrained_from_url(
+            cfg["url"], cache_dir, expected_sha256=cfg.get("sha256", ""))
     raise FileNotFoundError(f"pretrained cfg for {model}:{pretrained} has no source")
