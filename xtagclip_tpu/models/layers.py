@@ -13,6 +13,7 @@ fp32 regardless of bf16 inputs.
 
 from __future__ import annotations
 
+import math
 from typing import Any, Callable, Optional
 
 import jax
@@ -225,6 +226,15 @@ class MultiheadAttention(nn.Module):
     dropout: float = 0.0
     kdim: Optional[int] = None
     vdim: Optional[int] = None
+    # scaled-cosine / per-head-scale options of the reference's custom
+    # Attention (transformer.py:92-188): cosine similarity between L2-
+    # normalized q/k in place of dot-product scores, scaled by a learned
+    # per-head temperature exp(min(logit_scale, logit_scale_max)); and a
+    # learned per-head output gain. No shipped config sets either (dead
+    # upstream) — kept as API surface for checkpoint compatibility.
+    scaled_cosine: bool = False
+    scale_heads: bool = False
+    logit_scale_max: float = math.log(1.0 / 0.01)
     dtype: Dtype = jnp.float32
     param_dtype: Dtype = jnp.float32
 
@@ -261,10 +271,11 @@ class MultiheadAttention(nn.Module):
                 mask = mask[None]
 
         rng = self.make_rng("dropout") if (self.dropout > 0 and not deterministic) else None
-        need_slow = (
-            return_weights or rng is not None
-        )
-        if need_slow:
+        if self.scaled_cosine or self.scale_heads:
+            out, probs = self._cosine_attention(qh, kh, vh, mask, rng,
+                                                deterministic)
+            out = _merge_heads(out)
+        elif return_weights or rng is not None:
             out, probs = dot_product_attention(
                 _split_heads(qh, self.num_heads),
                 _split_heads(kh, self.num_heads),
@@ -311,6 +322,41 @@ class MultiheadAttention(nn.Module):
             return out, probs.mean(axis=1)
         return out
 
+    def _cosine_attention(self, qh, kh, vh, mask, rng, deterministic):
+        """Scaled-cosine (and/or per-head-scaled) attention — the reference
+        Attention's logit_scale/head_scale branch (transformer.py:150-180).
+        Scores in fp32; F.normalize semantics (x / max(||x||, 1e-12))."""
+        qs = _split_heads(qh, self.num_heads).astype(jnp.float32)
+        ks = _split_heads(kh, self.num_heads).astype(jnp.float32)
+        vs = _split_heads(vh, self.num_heads)
+        if self.scaled_cosine:
+            norm = lambda t: t / jnp.maximum(  # noqa: E731
+                jnp.linalg.norm(t, axis=-1, keepdims=True), 1e-12)
+            logit_scale = self.param(
+                "logit_scale",
+                lambda _, shape, dt: jnp.full(shape, math.log(10.0), dt),
+                (self.num_heads, 1, 1), self.param_dtype)
+            temp = jnp.exp(jnp.minimum(
+                logit_scale.astype(jnp.float32), self.logit_scale_max))
+            scores = jnp.einsum("bhqd,bhkd->bhqk", norm(qs), norm(ks)) * temp
+        else:
+            scores = jnp.einsum("bhqd,bhkd->bhqk", qs, ks) * (
+                qs.shape[-1] ** -0.5)
+        if mask is not None:
+            scores = scores + mask.astype(jnp.float32)
+        probs = jax.nn.softmax(scores, axis=-1)
+        if rng is not None:
+            keep = jax.random.bernoulli(rng, 1.0 - self.dropout, probs.shape)
+            probs = probs * keep / (1.0 - self.dropout)
+        out = jnp.einsum("bhqk,bhkd->bhqd", probs.astype(vs.dtype), vs,
+                         preferred_element_type=jnp.float32)
+        if self.scale_heads:
+            head_scale = self.param(
+                "head_scale", nn.initializers.ones,
+                (self.num_heads, 1, 1), self.param_dtype)
+            out = out * head_scale.astype(jnp.float32)
+        return out.astype(qh.dtype), probs
+
 
 class _DenseParams(nn.Module):
     """Declares nn.Dense-compatible params (kernel lecun_normal, bias zeros)
@@ -343,6 +389,9 @@ class MLP(nn.Module):
 
     mlp_width: int
     act: Callable
+    scale_fc: bool = False  # LayerNorm between act and c_proj (ref
+    # CustomResidualAttentionBlock transformer.py:304 'ln')
+    norm_eps: float = 1e-5
     dtype: Dtype = jnp.float32
     param_dtype: Dtype = jnp.float32
 
@@ -351,6 +400,12 @@ class MLP(nn.Module):
         import os
 
         d = x.shape[-1]
+        if self.scale_fc:
+            h = nn.Dense(self.mlp_width, name="c_fc", dtype=self.dtype,
+                         param_dtype=self.param_dtype)(x)
+            h = LayerNorm(eps=self.norm_eps, name="ln")(self.act(h))
+            return nn.Dense(d, name="c_proj", dtype=self.dtype,
+                            param_dtype=self.param_dtype)(h)
         act_name = {"gelu_exact": "gelu", "quick_gelu": "quick_gelu"}.get(
             getattr(self.act, "__name__", ""))
         if (act_name is not None and self.dtype == jnp.bfloat16
@@ -436,6 +491,13 @@ class ResidualAttentionBlock(nn.Module):
     act: Callable = gelu_exact
     norm_eps: float = 1e-5
     is_cross_attention: bool = False
+    # CustomResidualAttentionBlock surface (ref transformer.py:271-316):
+    # scaled-cosine attention, per-head output gain, post-attention LN,
+    # mid-MLP LN. All default off; no shipped config sets them.
+    scale_cosine_attn: bool = False
+    scale_heads: bool = False
+    scale_attn: bool = False
+    scale_fc: bool = False
     dtype: Dtype = jnp.float32
     param_dtype: Dtype = jnp.float32
 
@@ -443,10 +505,14 @@ class ResidualAttentionBlock(nn.Module):
     def __call__(self, x, k_x=None, v_x=None, attn_mask=None,
                  deterministic=True):
         d = x.shape[-1]
-        # deterministic gates the fused path to eval/serving: the train
-        # step (deterministic=False) stays on the plain XLA path — under
-        # differentiation the kernels' custom_vjp recompute costs more than
-        # the forward win (measured -3.5..-5.7% on the ViT-B train step)
+        # eval/serving (deterministic=True) always qualifies for the fused
+        # path; training (deterministic=False) qualifies when either train
+        # gate is on (fused_attn_block.train_path_enabled()): the default
+        # XTAG_FUSED_TRAIN_BWD pairs the eval forward kernel with a Pallas
+        # backward that recomputes the half in VMEM (zero residual HBM
+        # traffic); the opt-in XTAG_FUSED_TRAIN experiment saves q/k/v /
+        # the pre-activation as kernel residuals. Dropout is rate-0
+        # throughout this block, so deterministic changes no semantics.
         # 2-D additive masks (the text tower's causal mask) ride into the
         # kernel; bool masks are converted; >2-D masks (CLIPA padding) stay
         # on the XLA path
@@ -456,8 +522,11 @@ class ResidualAttentionBlock(nn.Module):
             fmask_ok = True
             fmask = (jnp.where(attn_mask, jnp.float32(-jnp.inf), 0.0)
                      if attn_mask.dtype == jnp.bool_ else attn_mask)
-        if (deterministic
+        custom_opts = (self.scale_cosine_attn or self.scale_heads
+                       or self.scale_attn or self.scale_fc)
+        if ((deterministic or fused_attn_block.train_path_enabled())
                 and not self.is_cross_attention and k_x is None and v_x is None
+                and not custom_opts
                 and fmask_ok and self.ls_init_value is None
                 and self.dtype == jnp.bfloat16
                 and fused_attn_block.enabled()
@@ -467,7 +536,7 @@ class ResidualAttentionBlock(nn.Module):
             g, bln = _LNParams(self.param_dtype, name="ln_1")(d)
             kqkv, bqkv, kout, bout = _MHAParams(
                 e=d, param_dtype=self.param_dtype, name="attn")()
-            x = fused_attn_block.fused_attn_half(
+            x = fused_attn_block.fused_attn_half_auto(
                 x.astype(self.dtype), g, bln,
                 kqkv.astype(self.dtype), bqkv, kout.astype(self.dtype),
                 bout, fmask, self.num_heads, self.norm_eps)
@@ -479,7 +548,7 @@ class ResidualAttentionBlock(nn.Module):
                 g2, bln2 = _LNParams(self.param_dtype, name="ln_2")(d)
                 k1, b1, k2, b2 = _MLPParams(
                     param_dtype=self.param_dtype, name="mlp")(d, mlp_width)
-                return fused_attn_block.fused_mlp_half(
+                return fused_attn_block.fused_mlp_half_auto(
                     x, g2, bln2, k1.astype(self.dtype), b1,
                     k2.astype(self.dtype), b2, act_name, self.norm_eps)
             mlp_out = MLP(mlp_width, self.act,
@@ -495,14 +564,21 @@ class ResidualAttentionBlock(nn.Module):
             k_in = v_in = None
         attn_out = MultiheadAttention(
             num_heads=self.num_heads, dtype=self.dtype,
+            scaled_cosine=self.scale_cosine_attn,
+            scale_heads=self.scale_heads,
             param_dtype=self.param_dtype, name="attn",
         )(LayerNorm(eps=self.norm_eps, name="ln_1")(x), k_in, v_in,
           attn_mask=attn_mask, deterministic=deterministic)
+        if self.scale_attn:
+            # ln_attn precedes LayerScale and the residual add
+            # (ref transformer.py:314: x + ls_1(ln_attn(attn(ln_1(x)))))
+            attn_out = LayerNorm(eps=self.norm_eps, name="ln_attn")(attn_out)
         if self.ls_init_value is not None:
             attn_out = LayerScale(self.ls_init_value, name="ls_1")(attn_out)
         x = x + attn_out
 
         mlp_out = MLP(int(d * self.mlp_ratio), self.act, dtype=self.dtype,
+                      scale_fc=self.scale_fc, norm_eps=self.norm_eps,
                       param_dtype=self.param_dtype, name="mlp")(
             LayerNorm(eps=self.norm_eps, name="ln_2")(x)
         )
