@@ -506,13 +506,14 @@ class ResidualAttentionBlock(nn.Module):
                  deterministic=True):
         d = x.shape[-1]
         # eval/serving (deterministic=True) always qualifies for the fused
-        # path; training (deterministic=False) qualifies when either train
-        # gate is on (fused_attn_block.train_path_enabled()): the default
-        # XTAG_FUSED_TRAIN_BWD pairs the eval forward kernel with a Pallas
-        # backward that recomputes the half in VMEM (zero residual HBM
-        # traffic); the opt-in XTAG_FUSED_TRAIN experiment saves q/k/v /
-        # the pre-activation as kernel residuals. Dropout is rate-0
-        # throughout this block, so deterministic changes no semantics.
+        # path; training (deterministic=False) qualifies only when a train
+        # gate is opted in (fused_attn_block.train_path_enabled(), both
+        # default OFF — measured losers in the full step, see the module
+        # doc): XTAG_FUSED_TRAIN_BWD pairs the eval forward kernel with a
+        # Pallas backward that recomputes the half in VMEM; XTAG_FUSED_TRAIN
+        # saves q/k/v / the pre-activation as kernel residuals. Dropout is
+        # rate-0 throughout this block, so deterministic changes no
+        # semantics.
         # 2-D additive masks (the text tower's causal mask) ride into the
         # kernel; bool masks are converted; >2-D masks (CLIPA padding) stay
         # on the XLA path

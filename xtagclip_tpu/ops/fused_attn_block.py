@@ -24,20 +24,44 @@ Numerics contract (same as the XLA path in models/layers.py):
   dtype for the AV matmul;
 - residual add in fp32, result cast to the stream dtype.
 
-Training passes through a ``custom_vjp`` whose backward is the standard
-XLA matmul chain with recomputation (the kernel targets the eval/serving
-path; the backward matches autodiff of the composed ops).
+Training passes through a ``custom_vjp``. Round 4 probed a TRAIN-VARIANT
+forward that additionally emits the backward's residuals (q/k/v for the
+attention half, the fp32 pre-activation for the MLP half) with a split
+XLA vjp whose projection recompute is dead-code-eliminated — it removes
+the round-3 "double forward", but measured on-chip it still LOSES to
+plain autodiff (attn 0.88-0.94x, MLP 0.73x: the residual writes cost
+more than the fused forward saves), so ``XTAG_FUSED_TRAIN`` defaults
+OFF and the machinery is kept for experiments only.
 
-Gate: ``XTAG_FUSED_BLOCK`` (``1`` opt-in / ``0`` off / ``auto`` =
-single-device TPU). The default IS ``auto`` — unlike the earlier partial
-fusions, this kernel wins on every verified tower with bit-identical
-outputs (PERF.md "the whole-block kernel"), so eval/serving get it out of
-the box; the train step (deterministic=False) never takes it.
+The round-4 Pallas BACKWARD kernel for the attention half
+(``train_bwd_enabled``/``_fused_attn_half_bwd``) pairs the unmodified
+eval kernel forward (single output, zero residual traffic beyond x)
+with one backward kernel that recomputes LN/qkv/scores/probs IN VMEM
+from x and accumulates the weight grads across the batch grid —
+targeting the attention half's 26-32% autodiff MFU. Isolated, the pair
+measures +33% over autodiff of the half; in the FULL ViT-B-32 train
+step it LOSES on-chip — 0.86x all-towers, 0.97x vision-only, 0.98x
+text-only vs plain autodiff (tools/bench_train_bwd.py; independently
+1384.9 vs 1924.9 samples/s on a quiet host) — because each custom_vjp
+half is a fusion barrier in BOTH directions: XLA can no longer overlap
+the weight-grad GEMMs and optimizer update across block boundaries, and
+that scheduling loss exceeds the kernel's local win. So
+``XTAG_FUSED_TRAIN_BWD`` also defaults OFF; the kernels and their
+gradient-parity tests stay as the attachment point for a future
+toolchain where pallas_call stops being a barrier.
+
+Gates: ``XTAG_FUSED_BLOCK`` for eval/serving (``1`` opt-in / ``0`` off /
+``auto`` = single-device TPU; the default IS auto — bit-identical and
++28-62% on every verified tower, PERF.md), ``XTAG_FUSED_TRAIN_BWD`` for
+the train-path kernel pair (default off, measured loser),
+``XTAG_FUSED_TRAIN`` for the residual-emitting experiment (default off,
+measured loser).
 """
 
 from __future__ import annotations
 
 import os
+from contextlib import contextmanager
 from functools import partial
 
 import jax
@@ -47,18 +71,116 @@ _LANE = 128
 _VMEM_BUDGET = 32 * 1024 * 1024
 
 
+def _interpret() -> bool:
+    """XTAG_PALLAS_INTERPRET=1: run every pallas_call in this module in
+    Pallas' PLAIN interpret mode (the kernel body inlined as traced jax
+    ops — no io_callbacks). CPU-testing hook: the TPU-semantics simulator
+    (force_tpu_interpret_mode) runs each grid step in an io_callback that
+    itself allocates jax arrays, which deadlocks under shard_map on a
+    low-core host (8 shards x 2 kernels of callbacks starve the XLA CPU
+    threadpool that must run their nested allocations). Plain interpret
+    composes with shard_map/jit/grad exactly like the compiled kernel."""
+    return os.environ.get("XTAG_PALLAS_INTERPRET", "0") == "1"
+
+
 def enabled(default: str = "auto") -> bool:
     """XTAG_FUSED_BLOCK: '1' opt-in, '0' off, 'auto' (the default — the
     kernel is bit-identical to the XLA path and +28-43% on every verified
-    tower, PERF.md) = on for single-device TPU processes. Multi-device
-    stays on the XLA path: a pallas_call inside a GSPMD-partitioned jit
-    is not automatically shardable over the batch axis."""
+    tower, PERF.md) = on for single-device TPU processes, and for
+    multi-device processes whose step registered a qualifying mesh via
+    ``mesh_context`` (the ``*_auto`` wrappers then run the pallas_call
+    per-shard under ``jax.shard_map`` — a bare pallas_call inside a
+    GSPMD-partitioned jit is not automatically shardable)."""
     v = os.environ.get("XTAG_FUSED_BLOCK", default)
     if v == "1":
         return True
     if v == "0":
         return False
-    return jax.default_backend() == "tpu" and jax.device_count() == 1
+    if jax.default_backend() != "tpu":
+        return False
+    return jax.device_count() == 1 or _mesh_qualifies()
+
+
+_MESH = None
+
+
+@contextmanager
+def mesh_context(mesh):
+    """Register the step's device mesh for the enclosing trace.
+
+    The step builders (train/loop.py, serving) wrap their model forward
+    in this so the ``*_auto`` kernel wrappers can shard_map the
+    pallas_call over the mesh's data axis — the multi-chip analogue of
+    the reference's loss-level collectives composing with model code
+    (loss.py:21-65); here the KERNEL composes with the mesh."""
+    global _MESH
+    prev, _MESH = _MESH, mesh
+    try:
+        yield
+    finally:
+        _MESH = prev
+
+
+def _mesh_sizes(mesh):
+    try:
+        return dict(mesh.shape)
+    except Exception:  # AbstractMesh exposes axis_sizes  # pragma: no cover
+        return dict(zip(mesh.axis_names, mesh.axis_sizes))
+
+
+def _mesh_qualifies() -> bool:
+    """A registered mesh the kernels can shard over: >1-way data axis and
+    no >1 model axis (TP shards the very weights the kernel needs whole —
+    those configs stay on the XLA path, where GSPMD handles them)."""
+    if _MESH is None:
+        return False
+    sizes = _mesh_sizes(_MESH)
+    from xtagclip_tpu.core.mesh import DATA_AXIS
+
+    if sizes.get(DATA_AXIS, 1) <= 1:
+        return False
+    return all(v == 1 for k, v in sizes.items() if k != DATA_AXIS)
+
+
+def _shard_mesh(batch: int):
+    """The mesh to shard_map over for a [batch, ...] stream, or None for
+    the direct (single-device) call."""
+    if _MESH is None or not _mesh_qualifies():
+        return None
+    from xtagclip_tpu.core.mesh import DATA_AXIS
+
+    if batch % _mesh_sizes(_MESH)[DATA_AXIS] != 0:
+        return None
+    return _MESH
+
+
+def train_enabled(default: str = "0") -> bool:
+    """XTAG_FUSED_TRAIN: gate for the TRAINING forward kernels.
+
+    Unlike the round-3 design (which ran the composed XLA chain under
+    differentiation because the custom_vjp backward recomputed the whole
+    chain — a kernel forward paid double forward, measured -5.7%), the
+    train path has kernel variants that EMIT the backward's residuals
+    (q/k/v for the attention half, the fp32 pre-activation for the MLP
+    half), and a split backward whose projection recompute is
+    dead-code-eliminated by XLA.
+
+    Default OFF: measured ON-CHIP (chained in-jit fwd+bwd per half,
+    ViT-B geometries) the residual-emitting variants LOSE to plain XLA
+    autodiff — attn 0.88-0.94x, MLP 0.73x, whole ViT-B-32 train step
+    1216.9 vs 1890.9 samples/s — because the extra residual HBM writes
+    (3x BLD for q/k/v, fp32 N x 4D for pre) outweigh the fused-forward
+    win, and XLA's own autodiff already saves its residuals from a
+    forward it fuses well (MLP half fwd+bwd measured ~80% MFU; the
+    attention half is the slow one at 26-32%, addressed by the Pallas
+    backward kernel — see fused_attn_bwd/train_bwd_enabled below).
+    '1' opt-in for experiments; 'auto' = wherever the eval kernel is on."""
+    v = os.environ.get("XTAG_FUSED_TRAIN", default)
+    if v == "1":
+        return True
+    if v == "0" or v == "":
+        return False
+    return enabled()
 
 
 def supported(shape, num_heads: int, dtype=jnp.bfloat16,
@@ -90,16 +212,144 @@ def supported(shape, num_heads: int, dtype=jnp.bfloat16,
     if d % _LANE != 0 or l < 8 or num_heads <= 0 or d % num_heads != 0:
         return False
     dh = d // num_heads
-    if dh not in (64, 80, 128):
+    if dh not in (64, 80, 88, 104, 128):
         return False
     if dh == 80 and l % 16 != 1:
         return False
-    vmem = (4 * d * d * 2            # wqkv [D,3D] + wout [D,D]
+    if dh in _HEAD_PAD:  # lane-padded heads: bigger working set (see below)
+        return _vmem_estimate_padded(l, d, num_heads * _HEAD_PAD[dh]) \
+            < _VMEM_BUDGET
+    return _vmem_estimate(l, d) < _VMEM_BUDGET
+
+
+# Head dims whose per-head slices are not lane-aligned (h*dh % 128 != 0 for
+# some h) crash the Mosaic compiler (dh 88/104 outright — ViT-g / ViT-bigG).
+# The fix: pad every head to a full 128-lane block IN THE WEIGHTS (zero
+# q/k/v columns, zero wout rows) — exact, because zero k/v columns
+# contribute nothing to scores or outputs and zero wout rows kill the pad
+# columns of att. dh=80 keeps the cheaper L-alignment-pad trick where it
+# applies (see alignment_pad); 88/104 take the head pad.
+_HEAD_PAD = {88: 128, 104: 128}
+
+
+def head_pad(d: int, num_heads: int) -> int:
+    """The padded per-head width the kernels run at (== dh when unpadded)."""
+    dh = d // num_heads
+    return _HEAD_PAD.get(dh, dh)
+
+
+def _pad_head_weights(wqkv, bqkv, wout, num_heads: int, dhp: int):
+    """[D,3D]/[3D]/[D,D] -> [D,3Hp]/[3Hp]/[Hp,D] with each head's dh
+    columns placed at a 128-lane-aligned offset (Hp = num_heads * dhp)."""
+    d = wqkv.shape[0]
+    dh = d // num_heads
+    pad = dhp - dh
+    wq = wqkv.reshape(d, 3, num_heads, dh)
+    wq = jnp.pad(wq, ((0, 0), (0, 0), (0, 0), (0, pad)))
+    bq = jnp.pad(bqkv.reshape(3, num_heads, dh),
+                 ((0, 0), (0, 0), (0, pad)))
+    wo = jnp.pad(wout.reshape(num_heads, dh, d),
+                 ((0, 0), (0, pad), (0, 0)))
+    dp = num_heads * dhp
+    return (wq.reshape(d, 3 * dp), bq.reshape(3 * dp), wo.reshape(dp, d))
+
+
+def _unpad_head_grads(dwqkv, dbqkv, dwout, num_heads: int, dh: int):
+    """Inverse of _pad_head_weights for the weight cotangents (the pad
+    rows/columns' grads are discarded — the primal never reads them)."""
+    d = dwqkv.shape[0]
+    dhp = dwqkv.shape[1] // (3 * num_heads)
+    dwqkv = dwqkv.reshape(d, 3, num_heads, dhp)[..., :dh].reshape(d, 3 * d)
+    dbqkv = dbqkv.reshape(3, num_heads, dhp)[..., :dh].reshape(3 * d)
+    dwout = dwout.reshape(num_heads, dhp, d)[:, :dh].reshape(d, d)
+    return dwqkv, dbqkv, dwout
+
+
+def _vmem_estimate(l: int, d: int) -> int:
+    return (4 * d * d * 2            # wqkv [D,3D] + wout [D,D]
             + 4 * l * d * 2          # x, y double-buffered
             + 5 * l * d * 2          # xn + q/k/v + att bf16
             + l * d * 4              # one fp32 dot output
             + l * l * 4)             # per-head fp32 scores
-    return vmem < _VMEM_BUDGET
+
+
+def _vmem_estimate_padded(l: int, d: int, dp: int) -> int:
+    """Working set with head-padded projections ([L, dp] q/k/v/att and
+    [D, 3dp]/[dp, D] weights; the stream stays [L, D])."""
+    return (8 * d * dp               # wqkv + wout bf16
+            + 4 * l * d * 2          # x, y double-buffered
+            + l * d * 2              # xn bf16
+            + 8 * l * dp             # q/k/v + att bf16
+            + l * dp * 4             # one fp32 dot output
+            + l * l * 4)             # per-head fp32 scores
+
+
+def supported_train(shape, num_heads: int, dtype=jnp.bfloat16,
+                    mask_shape=None) -> bool:
+    """Shapes the TRAIN-variant attention kernel takes: the eval set, with
+    the extra VMEM for the three residual outputs (q/k/v, double-buffered)
+    still under budget."""
+    if not supported(shape, num_heads, dtype, mask_shape):
+        return False
+    _, l, d = shape
+    if d // num_heads in _HEAD_PAD:
+        return False  # the split vjp reshapes saved q/k/v at the real dh
+    return _vmem_estimate(l, d) + 12 * l * d < _VMEM_BUDGET  # + q/k/v outs
+
+
+def train_bwd_enabled(default: str = "0") -> bool:
+    """XTAG_FUSED_TRAIN_BWD: gate for the eval-forward-kernel + Pallas
+    backward kernel pair (``_fused_attn_half_bwd``) — the backward
+    recomputes the half-block in VMEM from x and writes only dx/dqkv
+    plus small in-VMEM-accumulated grads, eliminating autodiff's saved
+    xn/q/k/v/p/att HBM round-trips.
+
+    Default OFF: measured ON-CHIP the pair LOSES in the full train step
+    — ViT-B-32 fused/xla 0.86x (vision-only 0.97x, text-only 0.98x;
+    tools/bench_train_bwd.py) despite the isolated half winning +33% —
+    the custom_vjp pallas_call is a fusion barrier in both directions
+    and XLA's cross-block overlap of weight-grad GEMMs + optimizer
+    update is worth more than the kernel's local win (see module doc).
+    '1' opt-in for experiments; 'auto' = wherever the eval kernel is on."""
+    v = os.environ.get("XTAG_FUSED_TRAIN_BWD", default)
+    if v == "1":
+        return True
+    if v == "0":
+        return False
+    return enabled()
+
+
+def train_path_enabled() -> bool:
+    """Either train-path gate (layers.py wiring helper)."""
+    return train_bwd_enabled() or train_enabled()
+
+
+def supported_bwd(shape, num_heads: int, dtype=jnp.bfloat16,
+                  mask_shape=None) -> bool:
+    """Shapes the Pallas BACKWARD kernel takes: the eval-forward set with
+    the backward's own working set under ITS OWN budget — resident
+    wqkv/wout plus the fp32 dwout accumulator (12 D^2 bytes), the fp32
+    recompute/grad stream (~13 fp32 [L,D] and one [L,3D] live at peak),
+    and the per-head fp32 score/prob/grad tiles.
+
+    The 24 MB budget is the measured compile boundary for THIS kernel on
+    the round-4 toolchain (probed on-chip): d=1024 compiles at l<=197 and
+    crashes the Mosaic compiler (estimate 27.3 MB) from l=256 up — so
+    ViT-L/14 attention training stays on XLA autodiff; d=768 compiles
+    through l=257 (estimate 18.4 MB). The eval forward's larger 32 MB
+    budget doesn't transfer: the backward holds ~3x the fp32 stream."""
+    if not supported(shape, num_heads, dtype, mask_shape):
+        return False
+    _, l, d = shape
+    if d // num_heads in _HEAD_PAD:
+        # head-padded towers (ViT-g/bigG) take the fused path at EVAL only:
+        # the padded backward working set is unprobed on-chip
+        return False
+    vmem = (12 * d * d          # wqkv+wout bf16 + dwout fp32 accumulator
+            + 52 * l * d        # x/g/dx/dqkv io + fp32 intermediates
+            + 16 * l * l        # s/p/dp/ds fp32 per head
+            + (4 * l * l if mask_shape is not None else 0))
+    return vmem < 24 * 1024 * 1024
 
 
 def alignment_pad(l: int, d: int, num_heads: int) -> int:
@@ -128,19 +378,29 @@ def alignment_mask(l: int, pad: int) -> jnp.ndarray:
     return jnp.where(col >= l, -jnp.inf, 0.0).astype(jnp.float32)
 
 
-@partial(jax.jit, static_argnames=("num_heads", "eps"))
+@partial(jax.jit, static_argnames=("num_heads", "eps", "emit_qkv"))
 def _fused_attn_half_fwd(x, ln_scale, ln_bias, wqkv, bqkv, wout, bout,
-                         mask, num_heads: int, eps: float):
+                         mask, num_heads: int, eps: float,
+                         emit_qkv: bool = False):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
     b, l, d = x.shape
     dh = d // num_heads
-    scale = dh**-0.5
+    scale = dh**-0.5               # the REAL head dim sets the scale
+    dproj = wqkv.shape[1] // 3     # == d unpadded; num_heads*128 head-padded
+    dhp = dproj // num_heads
 
     def kernel(x_ref, g_ref, lb_ref, wqkv_ref, bqkv_ref, wout_ref, bout_ref,
                *rest):
-        (mask_ref, o_ref) = rest if mask is not None else (None, rest[0])
+        if mask is not None:
+            mask_ref, rest = rest[0], rest[1:]
+        else:
+            mask_ref = None
+        if emit_qkv:
+            o_ref, q_ref, k_ref, v_ref = rest
+        else:
+            (o_ref,) = rest
         xb = x_ref[0]                                   # [L, D] bf16
         x32 = xb.astype(jnp.float32)
         mean = jnp.mean(x32, axis=-1, keepdims=True)
@@ -156,13 +416,17 @@ def _fused_attn_half_fwd(x, ln_scale, ln_bias, wqkv, bqkv, wout, bout,
             return (y + bqkv_ref[0, lo:hi].astype(jnp.float32)).astype(
                 xb.dtype)
 
-        q = proj(0, d)
-        k = proj(d, 2 * d)
-        v = proj(2 * d, 3 * d)
+        q = proj(0, dproj)
+        k = proj(dproj, 2 * dproj)
+        v = proj(2 * dproj, 3 * dproj)
+        if emit_qkv:
+            q_ref[0] = q
+            k_ref[0] = k
+            v_ref[0] = v
 
         outs = []
         for h in range(num_heads):
-            sl = slice(h * dh, (h + 1) * dh)
+            sl = slice(h * dhp, (h + 1) * dhp)
             s = jax.lax.dot_general(
                 q[:, sl], k[:, sl], (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
@@ -173,7 +437,7 @@ def _fused_attn_half_fwd(x, ln_scale, ln_bias, wqkv, bqkv, wout, bout,
             o = jnp.dot(p.astype(xb.dtype), v[:, sl],
                         preferred_element_type=jnp.float32)
             outs.append(o.astype(xb.dtype))
-        att = jnp.concatenate(outs, axis=-1)             # [L, D] bf16
+        att = jnp.concatenate(outs, axis=-1)             # [L, Dp] bf16
 
         y = jnp.dot(att, wout_ref[:], preferred_element_type=jnp.float32)
         y = y + bout_ref[0].astype(jnp.float32)
@@ -185,29 +449,236 @@ def _fused_attn_half_fwd(x, ln_scale, ln_bias, wqkv, bqkv, wout, bout,
                      memory_space=pltpu.VMEM),
         pl.BlockSpec((1, d), const, memory_space=pltpu.VMEM),
         pl.BlockSpec((1, d), const, memory_space=pltpu.VMEM),
-        pl.BlockSpec((d, 3 * d), const, memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, 3 * d), const, memory_space=pltpu.VMEM),
-        pl.BlockSpec((d, d), const, memory_space=pltpu.VMEM),
+        pl.BlockSpec((d, 3 * dproj), const, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 3 * dproj), const, memory_space=pltpu.VMEM),
+        pl.BlockSpec((dproj, d), const, memory_space=pltpu.VMEM),
         pl.BlockSpec((1, d), const, memory_space=pltpu.VMEM),
     ]
     operands = [x, ln_scale.reshape(1, d), ln_bias.reshape(1, d), wqkv,
-                bqkv.reshape(1, 3 * d), wout, bout.reshape(1, d)]
+                bqkv.reshape(1, 3 * dproj), wout, bout.reshape(1, d)]
     if mask is not None:
         in_specs.append(pl.BlockSpec((l, l), const,
                                      memory_space=pltpu.VMEM))
         operands.append(mask.astype(jnp.float32))
-    return pl.pallas_call(
+    batch_spec = pl.BlockSpec((1, l, d), lambda i: (i, 0, 0),
+                              memory_space=pltpu.VMEM)
+    qkv_spec = pl.BlockSpec((1, l, dproj), lambda i: (i, 0, 0),
+                            memory_space=pltpu.VMEM)
+    out_shape = [jax.ShapeDtypeStruct((b, l, d), x.dtype)]
+    out_specs = [batch_spec]
+    if emit_qkv:
+        out_shape += [jax.ShapeDtypeStruct((b, l, dproj), x.dtype)] * 3
+        out_specs += [qkv_spec] * 3
+    out = pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct((b, l, d), x.dtype),
+        out_shape=out_shape,
         grid=(b,),
         in_specs=in_specs,
-        out_specs=pl.BlockSpec((1, l, d), lambda i: (i, 0, 0),
-                               memory_space=pltpu.VMEM),
+        out_specs=out_specs,
         cost_estimate=pl.CostEstimate(
-            flops=2 * b * l * d * (4 * d + 2 * l),
-            bytes_accessed=2 * (2 * b * l * d + 4 * d * d),
+            flops=2 * b * l * dproj * (4 * d + 2 * l),
+            bytes_accessed=2 * (2 * b * l * d + 4 * d * dproj)
+            + (6 * b * l * dproj if emit_qkv else 0),
             transcendentals=b * l * l * num_heads,
         ),
+        interpret=_interpret(),
+    )(*operands)
+    return tuple(out) if emit_qkv else out[0]
+
+
+@partial(jax.jit, static_argnames=("num_heads", "eps"))
+def _fused_attn_half_bwd(x, g, ln_scale, ln_bias, wqkv, bqkv, wout,
+                         mask, num_heads: int, eps: float):
+    """Pallas backward for the attention half: one grid step per batch
+    element recomputes LN/q/k/v/scores/probs IN VMEM from x (zero saved
+    residuals — autodiff's xn/q/k/v/p/att HBM round-trips disappear) and
+    emits:
+
+    - ``dx``   [B, L, D]  bf16 — residual + LN contributions, fp32-summed
+      and rounded once (matching autodiff of the composed chain);
+    - ``dqkv`` [B, L, 3D] bf16 — the qkv-projection cotangent. The two
+      big weight-grad GEMMs it feeds (dwqkv = xn^T dqkv contracting B*L,
+      dbqkv) run OUTSIDE in XLA where the MXU takes them at near peak —
+      an in-kernel fp32 [D, 3D] accumulator would blow the VMEM budget
+      at ViT-L (12.6 MB on top of the recompute working set);
+    - ``dwout``/``dbout``/``dls``/``dlb`` — fp32 accumulated across the
+      sequential grid in resident VMEM blocks (constant index maps).
+
+    Rounding points mirror the chain's autodiff (cotangents round to the
+    primal's dtype at each primitive boundary): datt/dp/dq/dk/dv/dxn go
+    through bf16 exactly where the chain's do; the softmax/LN vjps and
+    every accumulation stay fp32. The L^2 x dh cotangent dots (dq/dk)
+    keep fp32 operands — ds is not bf16-representable and rounding it
+    would double the dwqkv error (the projection dots stay bf16 x bf16)."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    b, l, d = x.shape
+    dh = d // num_heads
+    scale = dh**-0.5               # the REAL head dim sets the scale
+    dproj = wqkv.shape[1] // 3     # == d unpadded; num_heads*128 head-padded
+    dhp = dproj // num_heads
+
+    def kernel(x_ref, g_ref, ls_ref, lb_ref, wqkv_ref, bqkv_ref, wout_ref,
+               *rest):
+        if mask is not None:
+            mask_ref, rest = rest[0], rest[1:]
+        else:
+            mask_ref = None
+        dx_ref, dqkv_ref, dwout_ref, dbout_ref, dls_ref, dlb_ref = rest
+
+        xb = x_ref[0]                                   # [L, D] bf16
+        x32 = xb.astype(jnp.float32)
+        mean = jnp.mean(x32, axis=-1, keepdims=True)
+        var = jnp.mean(jnp.square(x32 - mean), axis=-1, keepdims=True)
+        rstd = jax.lax.rsqrt(var + eps)
+        xhat = (x32 - mean) * rstd                      # [L, D] fp32
+        gamma = ls_ref[0].astype(jnp.float32)
+        xn = (xhat * gamma + lb_ref[0].astype(jnp.float32)).astype(xb.dtype)
+
+        def proj(lo, hi):
+            w = wqkv_ref[:, lo:hi]
+            y = jnp.dot(xn, w, preferred_element_type=jnp.float32)
+            return (y + bqkv_ref[0, lo:hi].astype(jnp.float32)).astype(
+                xb.dtype)
+
+        q = proj(0, dproj)
+        k = proj(dproj, 2 * dproj)
+        v = proj(2 * dproj, 3 * dproj)
+
+        gb = g_ref[0]                                   # [L, D] bf16
+        g32 = gb.astype(jnp.float32)
+        # datt = g @ wout^T (y = att @ wout); chain rounds att's
+        # cotangent to bf16
+        datt = jax.lax.dot_general(
+            gb, wout_ref[:], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32).astype(xb.dtype)
+
+        i = pl.program_id(0)
+        # per-head results write straight into the dqkv / dwout refs
+        # (dwout rows are head-blocked: dwout[h*dh:(h+1)*dh] = att_h^T g) —
+        # no [L, 3D]/[L, D] concatenates, which keep every head's tensors
+        # live at once and blow the compiler's allocation at L >= ~200
+        for h in range(num_heads):
+            sl = slice(h * dhp, (h + 1) * dhp)
+            q_h, k_h, v_h = q[:, sl], k[:, sl], v[:, sl]
+            s = jax.lax.dot_general(
+                q_h, k_h, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32) * scale
+            if mask_ref is not None:
+                s = s + mask_ref[:].astype(jnp.float32)
+            p = jax.nn.softmax(s, axis=-1)              # [L, L] fp32
+            pb = p.astype(xb.dtype)
+            o = jnp.dot(pb, v_h, preferred_element_type=jnp.float32)
+            att_h = o.astype(xb.dtype)
+
+            do = datt[:, sl]                            # bf16
+            # dp rounds to bf16 (p's bf16 cast boundary), vjp math fp32
+            dp = jax.lax.dot_general(
+                do, v_h, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32).astype(
+                    xb.dtype).astype(jnp.float32)
+            ds = (p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
+                  ) * scale                             # [L, L] fp32
+            dqkv_ref[0, :, 2 * dproj + h * dhp:2 * dproj + (h + 1) * dhp] = (
+                jax.lax.dot_general(
+                    pb, do, (((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32).astype(xb.dtype))
+            dqkv_ref[0, :, h * dhp:(h + 1) * dhp] = jnp.dot(
+                ds, k_h.astype(jnp.float32),
+                preferred_element_type=jnp.float32).astype(xb.dtype)
+            dqkv_ref[0, :, dproj + h * dhp:dproj + (h + 1) * dhp] = (
+                jax.lax.dot_general(
+                    ds, q_h.astype(jnp.float32), (((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32).astype(xb.dtype))
+
+            dwout_c = jax.lax.dot_general(
+                att_h, gb, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)     # [dh, D] fp32
+
+            @pl.when(i == 0)
+            def _init_w():
+                dwout_ref[sl, :] = dwout_c
+
+            @pl.when(i > 0)
+            def _acc_w():
+                dwout_ref[sl, :] += dwout_c
+
+        dqkv = dqkv_ref[0]                              # [L, 3Dp] bf16
+        # dxn = dqkv @ wqkv^T, rounded bf16 (xn's dtype) like the chain
+        dxn = jax.lax.dot_general(
+            dqkv, wqkv_ref[:], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32).astype(
+                xb.dtype).astype(jnp.float32)
+        dxhat = dxn * gamma
+        m1 = jnp.mean(dxhat, axis=-1, keepdims=True)
+        m2 = jnp.mean(dxhat * xhat, axis=-1, keepdims=True)
+        dx_ln = rstd * (dxhat - m1 - xhat * m2)
+        dx_ref[0] = (g32 + dx_ln).astype(dx_ref.dtype)
+
+        dbout_c = jnp.sum(g32, axis=0, keepdims=True)
+        dls_c = jnp.sum(dxn * xhat, axis=0, keepdims=True)
+        dlb_c = jnp.sum(dxn, axis=0, keepdims=True)
+
+        @pl.when(i == 0)
+        def _init():
+            dbout_ref[:] = dbout_c
+            dls_ref[:] = dls_c
+            dlb_ref[:] = dlb_c
+
+        @pl.when(i > 0)
+        def _acc():
+            dbout_ref[:] += dbout_c
+            dls_ref[:] += dls_c
+            dlb_ref[:] += dlb_c
+
+    const = lambda i: (0, 0)  # noqa: E731 — weights/accumulators resident
+    batch3 = lambda s: pl.BlockSpec(  # noqa: E731
+        (1, l, s), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+    in_specs = [
+        batch3(d),                                       # x
+        batch3(d),                                       # g
+        pl.BlockSpec((1, d), const, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, d), const, memory_space=pltpu.VMEM),
+        pl.BlockSpec((d, 3 * dproj), const, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 3 * dproj), const, memory_space=pltpu.VMEM),
+        pl.BlockSpec((dproj, d), const, memory_space=pltpu.VMEM),
+    ]
+    operands = [x, g, ln_scale.reshape(1, d), ln_bias.reshape(1, d), wqkv,
+                bqkv.reshape(1, 3 * dproj), wout]
+    if mask is not None:
+        in_specs.append(pl.BlockSpec((l, l), const,
+                                     memory_space=pltpu.VMEM))
+        operands.append(mask.astype(jnp.float32))
+    out_shape = [
+        jax.ShapeDtypeStruct((b, l, d), x.dtype),        # dx
+        jax.ShapeDtypeStruct((b, l, 3 * dproj), x.dtype),  # dqkv
+        jax.ShapeDtypeStruct((dproj, d), jnp.float32),   # dwout
+        jax.ShapeDtypeStruct((1, d), jnp.float32),       # dbout
+        jax.ShapeDtypeStruct((1, d), jnp.float32),       # dls
+        jax.ShapeDtypeStruct((1, d), jnp.float32),       # dlb
+    ]
+    out_specs = [
+        batch3(d),
+        batch3(3 * dproj),
+        pl.BlockSpec((dproj, d), const, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, d), const, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, d), const, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, d), const, memory_space=pltpu.VMEM),
+    ]
+    return pl.pallas_call(
+        kernel,
+        out_shape=out_shape,
+        grid=(b,),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * b * l * dproj * (8 * d + 6 * l),
+            bytes_accessed=2 * (2 * b * l * d + 4 * d * dproj)
+            + 2 * (b * l * d + 3 * b * l * dproj) + 4 * d * dproj,
+            transcendentals=b * l * l * num_heads,
+        ),
+        interpret=_interpret(),
     )(*operands)
 
 
@@ -226,11 +697,27 @@ def supported_mlp(shape, mlp_width: int, act_name: str,
     d = shape[-1]
     if d % _LANE != 0 or mlp_width % _LANE != 0:
         return False
-    vmem = (2 * d * mlp_width * 2          # c_fc + c_proj bf16
+    return _vmem_estimate_mlp(d, mlp_width) < _VMEM_BUDGET
+
+
+def _vmem_estimate_mlp(d: int, mlp_width: int) -> int:
+    return (2 * d * mlp_width * 2          # c_fc + c_proj bf16
             + 4 * _MLP_TILE * d * 2        # x, y double-buffered
             + _MLP_TILE * mlp_width * 4    # fp32 hidden tile
             + _MLP_TILE * d * 4)           # fp32 out accumulate
-    return vmem < _VMEM_BUDGET
+
+
+def supported_mlp_train(shape, mlp_width: int, act_name: str,
+                        dtype=jnp.bfloat16) -> bool:
+    """Rows the TRAIN-variant MLP kernel takes: the eval set, with the
+    extra VMEM for the pre-activation residual output (double-buffered
+    fp32 [tile, H] — fp32 keeps the backward's act derivative within the
+    <=1e-3 grad contract) still under budget."""
+    if not supported_mlp(shape, mlp_width, act_name, dtype):
+        return False
+    d = shape[-1]
+    return (_vmem_estimate_mlp(d, mlp_width)
+            + 2 * _MLP_TILE * mlp_width * 4) < _VMEM_BUDGET
 
 
 def _act(name, v):
@@ -251,9 +738,9 @@ def _act_xla(name, v):
     raise ValueError(name)
 
 
-@partial(jax.jit, static_argnames=("act_name", "eps"))
+@partial(jax.jit, static_argnames=("act_name", "eps", "emit_pre"))
 def _fused_mlp_half_fwd(x, ln_scale, ln_bias, w1, b1, w2, b2,
-                        act_name: str, eps: float):
+                        act_name: str, eps: float, emit_pre: bool = False):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -266,7 +753,8 @@ def _fused_mlp_half_fwd(x, ln_scale, ln_bias, w1, b1, w2, b2,
     if pad:
         x2 = jnp.pad(x2, ((0, pad), (0, 0)))
 
-    def kernel(x_ref, g_ref, lb_ref, w1_ref, b1_ref, w2_ref, b2_ref, o_ref):
+    def kernel(x_ref, g_ref, lb_ref, w1_ref, b1_ref, w2_ref, b2_ref, o_ref,
+               *rest):
         xb = x_ref[:]                                    # [T, D] bf16
         x32 = xb.astype(jnp.float32)
         mean = jnp.mean(x32, axis=-1, keepdims=True)
@@ -274,17 +762,30 @@ def _fused_mlp_half_fwd(x, ln_scale, ln_bias, w1, b1, w2, b2,
         xn32 = (x32 - mean) * jax.lax.rsqrt(var + eps)
         xn = (xn32 * g_ref[0].astype(jnp.float32)
               + lb_ref[0].astype(jnp.float32)).astype(xb.dtype)
-        hid = jnp.dot(xn, w1_ref[:], preferred_element_type=jnp.float32)
-        hid = _act(act_name, hid + b1_ref[0].astype(jnp.float32))
+        pre = (jnp.dot(xn, w1_ref[:], preferred_element_type=jnp.float32)
+               + b1_ref[0].astype(jnp.float32))
+        if emit_pre:
+            rest[0][:] = pre                  # fp32: the backward's act
+            # derivative is curvature-sensitive — bf16 rounding of pre
+            # costs 2.3e-3 on dw1 (measured), over the <=1e-3 contract
+        hid = _act(act_name, pre)
         y = jnp.dot(hid.astype(xb.dtype), w2_ref[:],
                     preferred_element_type=jnp.float32)
         y = y + b2_ref[0].astype(jnp.float32)
         o_ref[:] = (x32 + y).astype(o_ref.dtype)
 
     const = lambda i: (0, 0)  # noqa: E731 — weights resident across steps
-    out = pl.pallas_call(
+    out_shape = [jax.ShapeDtypeStruct(x2.shape, x.dtype)]
+    out_specs = [pl.BlockSpec((_MLP_TILE, d), lambda i: (i, 0),
+                              memory_space=pltpu.VMEM)]
+    if emit_pre:
+        out_shape.append(jax.ShapeDtypeStruct((x2.shape[0], h),
+                                              jnp.float32))
+        out_specs.append(pl.BlockSpec((_MLP_TILE, h), lambda i: (i, 0),
+                                      memory_space=pltpu.VMEM))
+    outs = pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct(x2.shape, x.dtype),
+        out_shape=out_shape,
         grid=(x2.shape[0] // _MLP_TILE,),
         in_specs=[
             pl.BlockSpec((_MLP_TILE, d), lambda i: (i, 0),
@@ -296,18 +797,26 @@ def _fused_mlp_half_fwd(x, ln_scale, ln_bias, w1, b1, w2, b2,
             pl.BlockSpec((h, d), const, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, d), const, memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((_MLP_TILE, d), lambda i: (i, 0),
-                               memory_space=pltpu.VMEM),
+        out_specs=out_specs,
         cost_estimate=pl.CostEstimate(
             flops=4 * x2.shape[0] * d * h,
-            bytes_accessed=2 * (2 * x2.shape[0] * d + 2 * d * h),
+            bytes_accessed=2 * (2 * x2.shape[0] * d + 2 * d * h)
+            + (4 * x2.shape[0] * h if emit_pre else 0),
             transcendentals=x2.shape[0] * h,
         ),
+        interpret=_interpret(),
     )(x2, ln_scale.reshape(1, d), ln_bias.reshape(1, d), w1,
       b1.reshape(1, h), w2, b2.reshape(1, d))
+    out = outs[0]
     if pad:
         out = out[:n]
-    return out.reshape(orig_shape)
+    out = out.reshape(orig_shape)
+    if emit_pre:
+        pre = outs[1]
+        if pad:
+            pre = pre[:n]
+        return out, pre.reshape(orig_shape[:-1] + (h,))
+    return out
 
 
 def _reference_mlp_chain(x, ln_scale, ln_bias, w1, b1, w2, b2,
@@ -337,20 +846,74 @@ def fused_mlp_half(x, ln_scale, ln_bias, w1, b1, w2, b2,
                                act_name, eps)
 
 
+def _mlp_pre_head(x32, ln_scale, ln_bias, w1, b1, eps: float,
+                  dtype):
+    """LN + c_fc — the head of the MLP chain (fp32 pre-activation). In the
+    train backward the primal recompute is DCE'd (the cotangent comes from
+    the kernel-saved pre); xn survives as the dot vjp's residual for dw1.
+
+    Takes the fp32 stream x32 so the backward's two dx contributions
+    (residual + LN) accumulate in fp32 and round to the stream dtype ONCE
+    — exactly the rounding autodiff of the composed chain performs on its
+    shared x32 (double bf16 rounding costs 1-2 ULP on dx)."""
+    mean = jnp.mean(x32, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(x32 - mean), axis=-1, keepdims=True)
+    xn32 = (x32 - mean) * jax.lax.rsqrt(var + eps)
+    xn = (xn32 * ln_scale.astype(jnp.float32)
+          + ln_bias.astype(jnp.float32)).astype(dtype)
+    return (jnp.einsum("...d,dh->...h", xn, w1,
+                       preferred_element_type=jnp.float32)
+            + b1.astype(jnp.float32))
+
+
+def _mlp_tail(pre32, w2, b2, x32, act_name: str, dtype):
+    """act + c_proj + residual from the pre-activation — the tail of the
+    MLP chain. Its vjp needs no matmul recompute at all."""
+    hid = _act_xla(act_name, pre32)
+    y = (jnp.einsum("...h,hd->...d", hid.astype(dtype), w2,
+                    preferred_element_type=jnp.float32)
+         + b2.astype(jnp.float32))
+    return (x32 + y).astype(dtype)
+
+
 def _mlp_fwd(x, ln_scale, ln_bias, w1, b1, w2, b2, act_name, eps):
-    # chain under differentiation — same rationale as _fwd above
+    # Under differentiation: the train-variant kernel emits the
+    # pre-activation (fp32) so the backward skips the c_fc recompute and
+    # evaluates the act derivative at exactly the value autodiff of the
+    # composed chain would (grads verified <=1e-3 in tests). Fallback:
+    # the composed chain, as in round 3.
+    if (train_enabled()
+            and supported_mlp_train(x.shape, w1.shape[1], act_name,
+                                    x.dtype)):
+        out, pre = _fused_mlp_half_fwd(x, ln_scale, ln_bias, w1, b1, w2,
+                                       b2, act_name, eps, emit_pre=True)
+        return out, (pre, (x, ln_scale, ln_bias, w1, b1, w2, b2))
     out = _reference_mlp_chain(x, ln_scale, ln_bias, w1, b1, w2, b2,
                                act_name, eps)
-    return out, (x, ln_scale, ln_bias, w1, b1, w2, b2)
+    return out, (None, (x, ln_scale, ln_bias, w1, b1, w2, b2))
 
 
 def _mlp_bwd(act_name, eps, res, g):
-    x, ln_scale, ln_bias, w1, b1, w2, b2 = res
-    _, vjp = jax.vjp(
-        lambda *a: _reference_mlp_chain(*a, act_name=act_name, eps=eps),
-        x, ln_scale, ln_bias, w1, b1, w2, b2,
-    )
-    return vjp(g)
+    pre, (x, ln_scale, ln_bias, w1, b1, w2, b2) = res
+    if pre is None:
+        _, vjp = jax.vjp(
+            lambda *a: _reference_mlp_chain(*a, act_name=act_name, eps=eps),
+            x, ln_scale, ln_bias, w1, b1, w2, b2,
+        )
+        return vjp(g)
+    pre32 = pre.astype(jnp.float32)
+    x32 = x.astype(jnp.float32)
+    _, vjp_tail = jax.vjp(
+        lambda p_, w2_, b2_, x_: _mlp_tail(p_, w2_, b2_, x_, act_name,
+                                           x.dtype),
+        pre32, w2, b2, x32)
+    dpre, dw2, db2, dx_res = vjp_tail(g)
+    _, vjp_head = jax.vjp(
+        lambda x_, ls, lb, w1_, b1_: _mlp_pre_head(x_, ls, lb, w1_, b1_,
+                                                   eps, x.dtype),
+        x32, ln_scale, ln_bias, w1, b1)
+    dx_ln, dls, dlb, dw1, db1 = vjp_head(dpre)
+    return ((dx_res + dx_ln).astype(x.dtype), dls, dlb, dw1, db1, dw2, db2)
 
 
 fused_mlp_half.defvjp(_mlp_fwd, _mlp_bwd)
@@ -388,37 +951,195 @@ def _reference_chain(x, ln_scale, ln_bias, wqkv, bqkv, wout, bout,
     return (x32 + y).astype(x.dtype)
 
 
+def _qkv_head(x32, ln_scale, ln_bias, wqkv, bqkv, eps: float, dtype):
+    """LN + qkv projection — the head of ``_reference_chain``, split out so
+    the train backward can vjp through it with the kernel-saved q/k/v as
+    cotangents. Under jit the unused primal recompute (the [L,D]x[D,3D]
+    projection matmul) is dead-code-eliminated; only the LN forward (xn, a
+    residual of the dot's vjp, needed for dwqkv) survives.
+
+    Takes the fp32 stream x32 (see ``_mlp_pre_head`` — single-rounding dx
+    accumulation, matching autodiff of the composed chain)."""
+    mean = jnp.mean(x32, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(x32 - mean), axis=-1, keepdims=True)
+    xn32 = (x32 - mean) * jax.lax.rsqrt(var + eps)
+    xn = (xn32 * ln_scale.astype(jnp.float32)
+          + ln_bias.astype(jnp.float32)).astype(dtype)
+    qkv = (jnp.einsum("bld,de->ble", xn, wqkv,
+                      preferred_element_type=jnp.float32)
+           + bqkv.astype(jnp.float32)).astype(dtype)
+    return tuple(jnp.split(qkv, 3, axis=-1))
+
+
+def _attn_tail_chain(q, k, v, wout, bout, x32, mask, num_heads: int):
+    """Attention + out-proj + residual from saved q/k/v — the tail of
+    ``_reference_chain``. Its vjp recomputes only scores/probs/att (2 L^2 D
+    matmuls), not the projections."""
+    b, l, d = x32.shape
+    dtype = q.dtype
+    dh = d // num_heads
+    split = lambda t: t.reshape(b, l, num_heads, dh)  # noqa: E731
+    s = jnp.einsum("bqhe,bkhe->bhqk", split(q), split(k),
+                   preferred_element_type=jnp.float32) * dh**-0.5
+    if mask is not None:
+        s = s + mask.astype(jnp.float32)
+    p = jax.nn.softmax(s, axis=-1)
+    o = jnp.einsum("bhqk,bkhe->bqhe", p.astype(dtype), split(v),
+                   preferred_element_type=jnp.float32)
+    att = o.astype(dtype).reshape(b, l, d)
+    y = (jnp.einsum("bld,de->ble", att, wout,
+                    preferred_element_type=jnp.float32)
+         + bout.astype(jnp.float32))
+    return (x32 + y).astype(dtype)
+
+
 @partial(jax.custom_vjp, nondiff_argnums=(8, 9))
 def fused_attn_half(x, ln_scale, ln_bias, wqkv, bqkv, wout, bout,
                     mask=None, num_heads: int = 8, eps: float = 1e-5):
     """y = x + out_proj(MHA(LN(x))) in one Pallas kernel (see module doc).
 
     mask: optional additive [L, L] float mask (e.g. causal) applied to the
-    fp32 scores in-kernel — the text-tower case."""
+    fp32 scores in-kernel — the text-tower case.
+
+    Head dims 88/104 (ViT-g/bigG) run with each head zero-padded to a full
+    128-lane block in the weights (exact — see _HEAD_PAD); the stream
+    stays [L, D]."""
+    d = x.shape[-1]
+    dhp = head_pad(d, num_heads)
+    if dhp != d // num_heads:
+        wqkv, bqkv, wout = _pad_head_weights(wqkv, bqkv, wout, num_heads,
+                                             dhp)
     return _fused_attn_half_fwd(x, ln_scale, ln_bias, wqkv, bqkv, wout,
                                 bout, mask, num_heads, eps)
 
 
 def _fwd(x, ln_scale, ln_bias, wqkv, bqkv, wout, bout, mask, num_heads,
          eps):
-    # Under differentiation (training), run the composed chain instead of
-    # the kernel: the custom_vjp backward recomputes the chain anyway, so a
-    # kernel forward would pay double forward — measured -5.7% on the
-    # ViT-B train step. Training is therefore exactly the XLA path; the
-    # kernel serves the no-grad (eval/serving) path where it wins +52-62%.
+    # Under differentiation (training), three paths by measured merit:
+    # 1. the WINNER (train_bwd): the unmodified eval kernel forward (single
+    #    output, zero residual HBM traffic) paired with the Pallas backward
+    #    kernel — residual marker () distinguishes it below;
+    # 2. the residual-emitting experiment (train_enabled, default off):
+    #    kernel emits q/k/v, split XLA vjp — measured LOSER, kept for
+    #    experiments;
+    # 3. fallback: the composed chain (exactly the round-3 behavior).
+    mshape = None if mask is None else mask.shape
+    if (train_enabled()
+            and supported_train(x.shape, num_heads, x.dtype, mshape)):
+        out, q, k, v = _fused_attn_half_fwd(
+            x, ln_scale, ln_bias, wqkv, bqkv, wout, bout, mask,
+            num_heads, eps, emit_qkv=True)
+        return out, ((q, k, v),
+                     (x, ln_scale, ln_bias, wqkv, bqkv, wout, bout, mask))
+    if (train_bwd_enabled()
+            and supported_bwd(x.shape, num_heads, x.dtype, mshape)):
+        out = _fused_attn_half_fwd(x, ln_scale, ln_bias, wqkv, bqkv, wout,
+                                   bout, mask, num_heads, eps)
+        return out, ((),
+                     (x, ln_scale, ln_bias, wqkv, bqkv, wout, bout, mask))
     out = _reference_chain(x, ln_scale, ln_bias, wqkv, bqkv, wout, bout,
                            num_heads, eps, mask)
-    return out, (x, ln_scale, ln_bias, wqkv, bqkv, wout, bout, mask)
+    return out, (None, (x, ln_scale, ln_bias, wqkv, bqkv, wout, bout, mask))
 
 
 def _bwd(num_heads, eps, res, g):
-    x, ln_scale, ln_bias, wqkv, bqkv, wout, bout, mask = res
-    _, vjp = jax.vjp(
-        lambda *a: _reference_chain(*a, num_heads=num_heads, eps=eps,
-                                    mask=mask),
-        x, ln_scale, ln_bias, wqkv, bqkv, wout, bout,
-    )
-    return vjp(g) + (None,)
+    qkv, (x, ln_scale, ln_bias, wqkv, bqkv, wout, bout, mask) = res
+    if qkv is None:
+        _, vjp = jax.vjp(
+            lambda *a: _reference_chain(*a, num_heads=num_heads, eps=eps,
+                                        mask=mask),
+            x, ln_scale, ln_bias, wqkv, bqkv, wout, bout,
+        )
+        return vjp(g) + (None,)
+    if qkv == ():
+        # Pallas backward kernel; the two big weight-grad GEMMs run here
+        # in XLA from the kernel-emitted dqkv — the [B*L, D]^T x [B*L, 3D]
+        # contraction is exactly what the MXU runs at near peak, and xn's
+        # recompute is one fused elementwise LN over x.
+        dx, dqkv, dwout, dbout, dls, dlb = _fused_attn_half_bwd(
+            x, g, ln_scale, ln_bias, wqkv, bqkv, wout, mask, num_heads,
+            eps)
+        x32 = x.astype(jnp.float32)
+        mean = jnp.mean(x32, axis=-1, keepdims=True)
+        var = jnp.mean(jnp.square(x32 - mean), axis=-1, keepdims=True)
+        xn = ((x32 - mean) * jax.lax.rsqrt(var + eps)
+              * ln_scale.astype(jnp.float32)
+              + ln_bias.astype(jnp.float32)).astype(x.dtype)
+        dwqkv = jnp.einsum("bld,ble->de", xn, dqkv,
+                           preferred_element_type=jnp.float32
+                           ).astype(wqkv.dtype)
+        dbqkv = jnp.sum(dqkv.astype(jnp.float32), axis=(0, 1)
+                        ).astype(bqkv.dtype)
+        return (dx, dls.reshape(ln_scale.shape).astype(ln_scale.dtype),
+                dlb.reshape(ln_bias.shape).astype(ln_bias.dtype),
+                dwqkv, dbqkv, dwout.astype(wout.dtype),
+                dbout.reshape(bout.shape).astype(bout.dtype), None)
+    q, k, v = qkv
+    x32 = x.astype(jnp.float32)
+    _, vjp_tail = jax.vjp(
+        lambda q_, k_, v_, wo, bo, x_: _attn_tail_chain(
+            q_, k_, v_, wo, bo, x_, mask, num_heads),
+        q, k, v, wout, bout, x32)
+    dq, dk, dv, dwout, dbout, dx_res = vjp_tail(g)
+    _, vjp_head = jax.vjp(
+        lambda x_, ls, lb, wq, bq: _qkv_head(x_, ls, lb, wq, bq, eps,
+                                             x.dtype),
+        x32, ln_scale, ln_bias, wqkv, bqkv)
+    dx_ln, dls, dlb, dwqkv, dbqkv = vjp_head((dq, dk, dv))
+    return ((dx_res + dx_ln).astype(x.dtype), dls, dlb, dwqkv, dbqkv,
+            dwout, dbout, None)
 
 
 fused_attn_half.defvjp(_fwd, _bwd)
+
+
+def _shard_map(fn, mesh, n_sharded, n_rep):
+    """shard_map over the data axis: arg 0..n_sharded-1 batch-sharded,
+    the next n_rep replicated (weights — FSDP shards gather per use,
+    exactly ZeRO-3 semantics; their cotangents psum over shards via the
+    shard_map transpose)."""
+    from jax.sharding import PartitionSpec as P
+
+    try:
+        from jax import shard_map  # jax >= 0.8
+    except ImportError:  # pragma: no cover - older jax
+        from jax.experimental.shard_map import shard_map
+    from xtagclip_tpu.core.mesh import DATA_AXIS
+
+    xs = P(DATA_AXIS)
+    return shard_map(fn, mesh=mesh,
+                     in_specs=(xs,) * n_sharded + (P(),) * n_rep,
+                     out_specs=xs, check_vma=False)
+
+
+def fused_attn_half_auto(x, ln_scale, ln_bias, wqkv, bqkv, wout, bout,
+                         mask=None, num_heads: int = 8, eps: float = 1e-5):
+    """``fused_attn_half``, shard_mapped over the registered mesh's data
+    axis when one qualifies (see ``mesh_context``) — multi-chip eval,
+    serving and training keep the kernel win; otherwise the direct
+    single-device call."""
+    mesh = _shard_mesh(x.shape[0])
+    if mesh is None:
+        return fused_attn_half(x, ln_scale, ln_bias, wqkv, bqkv, wout,
+                               bout, mask, num_heads, eps)
+    if mask is None:
+        fn = lambda x_, ls, lb, wq, bq, wo, bo: fused_attn_half(  # noqa: E731
+            x_, ls, lb, wq, bq, wo, bo, None, num_heads, eps)
+        return _shard_map(fn, mesh, 1, 6)(
+            x, ln_scale, ln_bias, wqkv, bqkv, wout, bout)
+    fn = lambda x_, ls, lb, wq, bq, wo, bo, m: fused_attn_half(  # noqa: E731
+        x_, ls, lb, wq, bq, wo, bo, m, num_heads, eps)
+    return _shard_map(fn, mesh, 1, 7)(
+        x, ln_scale, ln_bias, wqkv, bqkv, wout, bout, mask)
+
+
+def fused_mlp_half_auto(x, ln_scale, ln_bias, w1, b1, w2, b2,
+                        act_name: str, eps: float = 1e-5):
+    """``fused_mlp_half`` with the same mesh auto-shard_map."""
+    mesh = _shard_mesh(x.shape[0])
+    if mesh is None:
+        return fused_mlp_half(x, ln_scale, ln_bias, w1, b1, w2, b2,
+                              act_name, eps)
+    fn = lambda x_, ls, lb, w1_, b1_, w2_, b2_: fused_mlp_half(  # noqa: E731
+        x_, ls, lb, w1_, b1_, w2_, b2_, act_name, eps)
+    return _shard_map(fn, mesh, 1, 6)(x, ln_scale, ln_bias, w1, b1, w2, b2)

@@ -69,18 +69,25 @@ def _model_losses(module, params, batch, rngs, args_cfg, prompt_table,
     # running statistics AND normalize with them (not per-batch stats), so the
     # tower runs in eval mode inside the train-mode forward.
     freeze_visual = bool(args_cfg.get("lock_image_freeze_bn_stats"))
-    out = module.apply(
-        variables,
-        batch["images"],
-        text=batch.get("texts"),
-        prompt_table=prompt_table,
-        class_ids=batch.get("class_ids"),
-        template_id=batch.get("template_id", 0),
-        deterministic=False,
-        visual_deterministic=True if freeze_visual else None,
-        rngs=rngs,
-        mutable=mutable,
-    )
+    # register the mesh for the traced forward: the fused block kernels'
+    # *_auto wrappers shard_map their pallas_call over the data axis
+    # (ops/fused_attn_block.mesh_context) — without this, multi-device
+    # steps silently lose the kernel win to the XLA fallback
+    from xtagclip_tpu.ops import fused_attn_block
+
+    with fused_attn_block.mesh_context(mesh):
+        out = module.apply(
+            variables,
+            batch["images"],
+            text=batch.get("texts"),
+            prompt_table=prompt_table,
+            class_ids=batch.get("class_ids"),
+            template_id=batch.get("template_id", 0),
+            deterministic=False,
+            visual_deterministic=True if freeze_visual else None,
+            rngs=rngs,
+            mutable=mutable,
+        )
     new_vars = {}
     if mutable:
         out, new_vars = out
@@ -139,15 +146,16 @@ def _model_losses(module, params, batch, rngs, args_cfg, prompt_table,
 
     if teacher is not None:
         t_module, t_vars = teacher
-        t_out = t_module.apply(
-            t_vars,
-            batch["images"],
-            text=batch.get("texts"),
-            prompt_table=prompt_table,
-            class_ids=batch.get("class_ids"),
-            template_id=batch.get("template_id", 0),
-            deterministic=True,
-        )
+        with fused_attn_block.mesh_context(mesh):
+            t_out = t_module.apply(
+                t_vars,
+                batch["images"],
+                text=batch.get("texts"),
+                prompt_table=prompt_table,
+                class_ids=batch.get("class_ids"),
+                template_id=batch.get("template_id", 0),
+                deterministic=True,
+            )
         dist_l = distill_loss(
             out["image_features"], out["text_features"], logit_scale,
             jax.lax.stop_gradient(t_out["image_features"]),
