@@ -257,6 +257,71 @@ int xtag_decode_rrc_batch(const uint8_t** datas, const size_t* lens, int n,
   return ok.load();
 }
 
+// decode ONLY (device-side preprocess path: resize/crop/normalize run on
+// the accelerator — ops/preprocess.py resize_crop_normalize): decode a JPEG
+// at DCT-scaled resolution (shortest side kept >= ~1.15x needed_short) into
+// a caller-provided zero-padded [cap_h, cap_w, 3] buffer, writing the true
+// decoded dims. If the decode still exceeds the capacity (extreme aspect
+// ratios), a bilinear shrink-to-fit preserves aspect. Returns 0 ok.
+int xtag_decode_native(const uint8_t* data, size_t len, int needed_short,
+                       int cap_h, int cap_w, uint8_t* out, int* out_h,
+                       int* out_w) {
+  std::vector<uint8_t> buf;
+  int h = 0, w = 0;
+  const int rc = decode_jpeg(data, len, needed_short, &buf, &h, &w);
+  if (rc != 0) return rc;
+  if (h > cap_h || w > cap_w) {
+    const float fit = std::min(static_cast<float>(cap_h) / h,
+                               static_cast<float>(cap_w) / w);
+    const int nh = std::max(1, static_cast<int>(h * fit));
+    const int nw = std::max(1, static_cast<int>(w * fit));
+    std::vector<uint8_t> small(static_cast<size_t>(nh) * nw * 3);
+    bilinear_resize(buf.data(), h, w, small.data(), nh, nw);
+    buf.swap(small);
+    h = nh;
+    w = nw;
+  }
+  std::memset(out, 0, static_cast<size_t>(cap_h) * cap_w * 3);
+  for (int y = 0; y < h; ++y)
+    std::memcpy(out + static_cast<size_t>(y) * cap_w * 3,
+                buf.data() + static_cast<size_t>(y) * w * 3,
+                static_cast<size_t>(w) * 3);
+  *out_h = h;
+  *out_w = w;
+  return 0;
+}
+
+// threaded batch native decode into [n, cap_h, cap_w, 3]; sizes is [n, 2]
+// (h, w) int32, zeroed on failure. Returns the number of successful decodes.
+int xtag_decode_native_batch(const uint8_t** datas, const size_t* lens, int n,
+                             int needed_short, int cap_h, int cap_w,
+                             uint8_t* out, int32_t* sizes, int n_threads) {
+  if (n_threads < 1) n_threads = 1;
+  std::atomic<int> next(0), ok(0);
+  const size_t stride = static_cast<size_t>(cap_h) * cap_w * 3;
+  auto worker = [&]() {
+    for (;;) {
+      const int i = next.fetch_add(1);
+      if (i >= n) return;
+      int h = 0, w = 0;
+      if (xtag_decode_native(datas[i], lens[i], needed_short, cap_h, cap_w,
+                             out + i * stride, &h, &w) == 0) {
+        ok.fetch_add(1);
+      } else {
+        std::memset(out + i * stride, 0, stride);
+      }
+      sizes[i * 2] = h;
+      sizes[i * 2 + 1] = w;
+    }
+  };
+  std::vector<std::thread> threads;
+  const int nt = std::min(n_threads, n);
+  threads.reserve(nt);
+  for (int t = 0; t < nt; ++t) threads.emplace_back(worker);
+  for (auto& t : threads) t.join();
+  return ok.load();
+}
+
 // threaded batch decode; returns the number of successful decodes.
 // failures leave zeros in the corresponding output slot.
 int xtag_decode_batch(const uint8_t** datas, const size_t* lens, int n,

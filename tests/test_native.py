@@ -113,3 +113,40 @@ def test_rrc_box_scale_distribution():
     assert areas.min() > 0.85 and areas.max() <= 1.0001
     ratios = boxes[:, 2] / boxes[:, 3]
     assert ratios.min() > 0.70 and ratios.max() < 1.40
+
+
+def test_decode_native_batch_device_chain():
+    """Decode-only host stage + device resize_crop_normalize == the full
+    eval chain with the host stage reduced to JPEG decode. The decoded
+    native crop run through the device resample must agree with PIL
+    Resize(bicubic)+CenterCrop+Normalize on the same decoded pixels to
+    quantization tolerance (the chain is pinned in
+    tests/test_preprocess_goldens.py; this pins the decode handoff)."""
+    import jax.numpy as jnp
+
+    from xtagclip_tpu.data.transforms import EvalTransform, PreprocessCfg
+    from xtagclip_tpu.ops.preprocess import resize_crop_normalize
+
+    jpegs = [_jpeg(240, 320, seed=1), _jpeg(400, 300, seed=2)]
+    out, sizes = native.decode_native_batch(jpegs, 224, (448, 448))
+    assert out.shape == (2, 448, 448, 3)
+    got = np.asarray(
+        resize_crop_normalize(jnp.asarray(out), jnp.asarray(sizes),
+                              dtype=jnp.float32))
+    host = EvalTransform(PreprocessCfg(size=224), normalize_host=True)
+    std = np.asarray(PreprocessCfg(size=224).std, np.float32)
+    for i in range(2):
+        h, w = sizes[i]
+        img = Image.fromarray(out[i, :h, :w])
+        want = host(img)
+        err01 = np.abs(got[i] - want) * std
+        assert err01.max() <= 3.5 / 255, float(err01.max())
+
+
+def test_decode_native_batch_corrupt_and_oversize():
+    out, sizes = native.decode_native_batch(
+        [b"corrupt", _jpeg(100, 2000, seed=3, quality=90)], 224, (640, 640))
+    assert (sizes[0] == 0).all() and out[0].sum() == 0
+    h, w = sizes[1]
+    assert w == 640 and h == 32  # shrink-to-fit keeps aspect
+    assert out[1, h:, :].sum() == 0

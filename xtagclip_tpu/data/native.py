@@ -61,6 +61,16 @@ def _load(build_if_missing: bool = True) -> Optional[ctypes.CDLL]:
         ctypes.c_int, ctypes.c_int, ctypes.c_void_p, ctypes.c_void_p,
         ctypes.c_void_p, ctypes.c_int,
     ]
+    try:
+        lib.xtag_decode_native_batch.restype = ctypes.c_int
+        lib.xtag_decode_native_batch.argtypes = [
+            ctypes.POINTER(ctypes.c_char_p), ctypes.POINTER(ctypes.c_size_t),
+            ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int,
+        ]
+    except AttributeError:  # stale .so from before the device-preprocess path
+        logging.info("libxtagdata.so lacks xtag_decode_native_batch; "
+                     "rebuild with `make -C native`")
     return lib
 
 
@@ -103,6 +113,60 @@ def decode_batch(jpegs: List[bytes], target: int,
         ptrs, lens, n, target, out.ctypes.data_as(ctypes.c_void_p), n_threads
     )
     return out
+
+
+def decode_native_batch(jpegs: List[bytes], needed_short: int = 224,
+                        cap_hw=(640, 640),
+                        n_threads: Optional[int] = None):
+    """Decode-ONLY host stage for the device-preprocess path: JPEGs ->
+    (padded [N, cap_h, cap_w, 3] uint8, [N, 2] int32 true sizes). The
+    resample/crop/normalize runs on the accelerator
+    (ops/preprocess.resize_crop_normalize) — the reference's whole
+    torchvision eval chain (transform.py:360-383) leaves the host.
+
+    Decode is DCT-scaled toward `needed_short` (libjpeg scale-on-decode),
+    so "native" size is already bounded near the useful detail; corrupt
+    entries come back as zeros with size (0, 0)."""
+    n = len(jpegs)
+    cap_h, cap_w = cap_hw
+    out = np.zeros((n, cap_h, cap_w, 3), np.uint8)
+    sizes = np.zeros((n, 2), np.int32)
+    lib = _load()
+    if lib is None or not hasattr(lib, "xtag_decode_native_batch"):
+        import io
+
+        from PIL import Image
+
+        for i, j in enumerate(jpegs):
+            try:
+                img = Image.open(io.BytesIO(j))
+                img.draft("RGB", (needed_short, needed_short))
+                arr = np.asarray(img.convert("RGB"), np.uint8)
+            except OSError:
+                continue
+            h, w = arr.shape[:2]
+            if h > cap_h or w > cap_w:
+                fit = min(cap_h / h, cap_w / w)
+                nh, nw = max(1, int(h * fit)), max(1, int(w * fit))
+                arr = np.asarray(
+                    Image.fromarray(arr).resize((nw, nh), Image.BILINEAR),
+                    np.uint8)
+                h, w = nh, nw
+            out[i, :h, :w] = arr
+            sizes[i] = (h, w)
+        return out, sizes
+    arr_t = ctypes.c_char_p * n
+    len_t = ctypes.c_size_t * n
+    ptrs = arr_t(*jpegs)
+    lens = len_t(*[len(j) for j in jpegs])
+    if n_threads is None:
+        n_threads = max(1, os.cpu_count() or 1)
+    lib.xtag_decode_native_batch(
+        ptrs, lens, n, needed_short, cap_h, cap_w,
+        out.ctypes.data_as(ctypes.c_void_p),
+        sizes.ctypes.data_as(ctypes.c_void_p), n_threads,
+    )
+    return out, sizes
 
 
 def sample_rrc_boxes(rng: np.random.Generator, n: int,
