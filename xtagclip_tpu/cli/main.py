@@ -109,6 +109,21 @@ def main(argv=None):
     )
     tokenizer = get_tokenizer(args.model)
 
+    # --torchscript/--trace (reference training.main:226 trace_model):
+    # emit the AOT serving artifact — serialized StableHLO of
+    # encode_image/encode_text/forward with a symbolic batch dim, weights
+    # baked in (convert/serving.py), the jax-native traced-module analogue
+    if getattr(args, "torchscript", False) or getattr(args, "trace", False):
+        from xtagclip_tpu.convert.serving import save_serving
+
+        serve_dir = os.path.join(
+            args.checkpoint_path or args.logs or ".", "serving")
+        manifest = save_serving(bundle, serve_dir, model_name=args.model)
+        logging.info(
+            "serving artifact: %s (%s)", serve_dir,
+            ", ".join(f"{k}={v['bytes'] / 1e6:.1f}MB"
+                      for k, v in manifest["entries"].items()))
+
     if args.resume == "latest":
         tag = find_latest_checkpoint(args.checkpoint_path)
         args.resume = os.path.join(args.checkpoint_path, tag) if tag else None

@@ -2,9 +2,11 @@
 
 Same ~80 flags as reference open_clip_train/params.py:26-496 plus the 8 XTag
 custom flags (main_other_simple.py:81-141). GPU-only switches (--torchcompile,
---torchscript, --trace, --use-bnb-linear, --horovod, device/dist plumbing) are
-accepted as no-ops for drop-in CLI compatibility: under JAX everything is
-jit-compiled and the mesh replaces process groups.
+--use-bnb-linear, --horovod, device/dist plumbing) are accepted as no-ops for
+drop-in CLI compatibility: under JAX everything is jit-compiled and the mesh
+replaces process groups. --torchscript/--trace DO something: they emit the
+jax.export AOT serving artifact (convert/serving.py), the jax-native
+equivalent of the reference's traced eval module (model.py:1049-1062).
 """
 
 from __future__ import annotations
@@ -129,7 +131,8 @@ def parse_args(args=None, include_xtag: bool = True):
     parser.add_argument("--force-quick-gelu", default=False, action="store_true")
     parser.add_argument("--force-patch-dropout", default=None, type=float)
     parser.add_argument("--force-custom-text", default=False, action="store_true")
-    # compile/trace switches: jit is the default execution model — no-ops
+    # --torchscript/--trace emit the jax.export serving artifact
+    # (convert/serving.py); --torchcompile is a no-op (jit is the default)
     parser.add_argument("--torchscript", default=False, action="store_true")
     parser.add_argument("--torchcompile", default=False, action="store_true")
     parser.add_argument("--trace", default=False, action="store_true")
