@@ -627,9 +627,15 @@ def main():
             )
 
             mark("train_large: start")
-            ltb, lKT = 48, 2
+            # batch 64 WITH per-block remat: scan-over-layers without remat
+            # saves every layer's activations and OOMs one chip at batch 48
+            # (bf16[24,1024,4096] temps); remat is the production config for
+            # large towers (--grad-checkpointing) and the analytic MFU below
+            # accounts for the recompute (4x fwd)
+            ltb, lKT = 64, 2
             lb = create_model("ViT-L-14", precision="bf16",
-                              scan_layers=True, skip_init=True)
+                              scan_layers=True, skip_init=True,
+                              grad_checkpointing=True)
             lparams = device_init(lb)
             ltx = make_optimizer(cosine_lr(1e-4, 10, 1000), params=lparams,
                                  weight_decay=0.1)
@@ -735,7 +741,11 @@ def main():
         "batch": batch,
         "note": ("device pipeline rate from device-resident uint8; JPEG "
                  "decode (host-bound, 1-core box) and h2d (tunnel-limited) "
-                 "reported separately"),
+                 "reported separately. pipeline_device_preprocess ships "
+                 "native-size padded uint8 (~1 MB/img vs 150 KB cropped) "
+                 "and is therefore h2d-tunnel-bound on THIS box — on real "
+                 "PCIe (~16 GB/s vs the tunnel's ~10-40 MB/s) the batch "
+                 "upload costs ~4 ms and the device resample is noise"),
     }
     mark("h2d: measured")
     run_done.set()
