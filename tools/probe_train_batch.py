@@ -1,0 +1,107 @@
+"""On-chip probe: contrastive train-step throughput vs per-chip batch.
+
+bench.py measures the ViT-B-32 train step at tb=128 (43% MFU). This probe
+answers: is the per-step constant overhead (AdamW elementwise traffic,
+loss, scheduler) amortized enough at 128, or does a larger per-chip batch
+buy real MFU? Also isolates the optimizer by timing an update-only step
+(zero grads) — pure HBM-traffic floor of AdamW over the 151M-param tree.
+
+Run: python tools/probe_train_batch.py [tb ...]
+"""
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from xtagclip_tpu.factory import create_model
+    from xtagclip_tpu.ops.preprocess import normalize_images
+    from xtagclip_tpu.train.loop import make_multi_step
+    from xtagclip_tpu.train.scheduler import cosine_lr
+    from xtagclip_tpu.train.train_state import (
+        apply_gradients,
+        create_train_state,
+        make_optimizer,
+    )
+
+    dev = jax.devices()[0]
+    print("device:", dev)
+    bundle = create_model("ViT-B-32", precision="bf16", skip_init=True)
+    module = bundle.module
+    vc = bundle.model_cfg["vision_cfg"]
+    ctx = bundle.model_cfg["text_cfg"].get("context_length", 77)
+    with jax.default_device(dev):
+        variables = jax.jit(
+            module.init, static_argnames=("deterministic",))(
+            jax.random.PRNGKey(0), jnp.zeros((1, 224, 224, 3), jnp.bfloat16),
+            jnp.zeros((1, ctx), jnp.int32), deterministic=True)
+    params = variables["params"]
+    n_params = sum(x.size for x in jax.tree_util.tree_leaves(params))
+    print(f"params: {n_params/1e6:.1f}M")
+    rng = np.random.default_rng(0)
+
+    tx = make_optimizer(cosine_lr(1e-4, 10, 1000), params=params,
+                        weight_decay=0.1)
+
+    # --- optimizer-only floor: apply zero grads KT times in one jit ---
+    state = create_train_state(params, tx)
+    KT = 8
+
+    def opt_only(state):
+        zeros = jax.tree_util.tree_map(jnp.zeros_like, state.params)
+
+        def body(s, _):
+            return apply_gradients(s, zeros, tx), ()
+        s, _ = jax.lax.scan(body, state, jnp.arange(KT))
+        return s
+
+    f = jax.jit(opt_only)
+    s = f(state)
+    s = f(s)
+    np.asarray(s.step)
+    t0 = time.perf_counter()
+    s = f(s)
+    np.asarray(s.step)
+    dt = (time.perf_counter() - t0) / KT
+    print(f"optimizer-only: {dt*1e3:.2f} ms/step "
+          f"(AdamW traffic floor over {n_params/1e6:.0f}M fp32 params)")
+
+    tbs = [int(a) for a in sys.argv[1:]] or [128, 256]
+    for tb in tbs:
+        KT = 4
+        state = create_train_state(params, tx)
+        texts = jnp.asarray(rng.integers(1, 49407, size=(KT, tb, ctx)),
+                            jnp.int32)
+        imgs_f = normalize_images(
+            jax.device_put(
+                rng.integers(0, 256, size=(KT, tb, 224, 224, 3))
+                .astype(np.uint8), dev),
+            dtype=jnp.bfloat16)
+        batches = {"images": imgs_f, "texts": texts}
+        step_fn = make_multi_step(module, tx, {"use_tagging_loss": False},
+                                  num_steps=KT, donate=False)
+        for i in range(2):
+            state, m = step_fn(state, batches, jax.random.PRNGKey(i))
+            np.asarray(m["loss"])
+        reps = 4
+        t0 = time.perf_counter()
+        for i in range(reps):
+            state, m = step_fn(state, batches, jax.random.PRNGKey(1 + i))
+        np.asarray(m["loss"])
+        dt = time.perf_counter() - t0
+        sps = tb * KT * reps / dt
+        ms = dt / (KT * reps) * 1e3
+        print(f"tb={tb}: {sps:.1f} samples/s  {ms:.2f} ms/step")
+
+
+if __name__ == "__main__":
+    main()

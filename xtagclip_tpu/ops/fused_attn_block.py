@@ -70,6 +70,23 @@ import jax.numpy as jnp
 _LANE = 128
 _VMEM_BUDGET = 32 * 1024 * 1024
 
+# Raised Mosaic scoped-VMEM ceiling for every pallas_call in this module.
+# The compiler's DEFAULT scoped limit is 16 MiB whenever the kernel sits
+# inside an enclosing lax.scan/while (and the round-3 "24/32 MiB ceilings"
+# in PERF.md were also default-limit artifacts, not hardware): v5e has
+# 128 MiB of VMEM, and pltpu.CompilerParams(vmem_limit_bytes=...) lifts
+# the cap per-kernel. 100 MiB leaves the scheduler slack for the
+# grid-pipelined x/y blocks while admitting the big head-padded towers
+# (ViT-g@336 estimate 44.5 MiB, bigG@224 36.4 MiB) — all re-probed
+# on-chip after the raise (PERF.md round 4, "the 16 MiB default limit").
+_VMEM_LIMIT_BYTES = 100 * 1024 * 1024
+
+
+def _compiler_params():
+    from jax.experimental.pallas import tpu as pltpu
+
+    return pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT_BYTES)
+
 
 def _interpret() -> bool:
     """XTAG_PALLAS_INTERPRET=1: run every pallas_call in this module in
@@ -482,6 +499,7 @@ def _fused_attn_half_fwd(x, ln_scale, ln_bias, wqkv, bqkv, wout, bout,
             transcendentals=b * l * l * num_heads,
         ),
         interpret=_interpret(),
+        compiler_params=_compiler_params(),
     )(*operands)
     return tuple(out) if emit_qkv else out[0]
 
@@ -679,6 +697,7 @@ def _fused_attn_half_bwd(x, g, ln_scale, ln_bias, wqkv, bqkv, wout,
             transcendentals=b * l * l * num_heads,
         ),
         interpret=_interpret(),
+        compiler_params=_compiler_params(),
     )(*operands)
 
 
@@ -805,6 +824,7 @@ def _fused_mlp_half_fwd(x, ln_scale, ln_bias, w1, b1, w2, b2,
             transcendentals=x2.shape[0] * h,
         ),
         interpret=_interpret(),
+        compiler_params=_compiler_params(),
     )(x2, ln_scale.reshape(1, d), ln_bias.reshape(1, d), w1,
       b1.reshape(1, h), w2, b2.reshape(1, d))
     out = outs[0]
