@@ -24,27 +24,10 @@ from xtagclip_tpu.ops import fused_attn_block as fab  # noqa: E402
 
 
 def chain(x, ls, lb, wqkv, bqkv, wout, bout, h, eps=1e-5):
-    b, l, d = x.shape
-    xn = fab_ln(x, ls, lb, eps)
-    qkv = (jnp.matmul(xn, wqkv, preferred_element_type=jnp.float32)
-           + bqkv).astype(x.dtype)
-    q, k, v = jnp.split(qkv.reshape(b, l, 3, h, d // h), 3, axis=2)
-    q, k, v = (t.squeeze(2).transpose(0, 2, 1, 3) for t in (q, k, v))
-    s = jnp.matmul(q, k.transpose(0, 1, 3, 2),
-                   preferred_element_type=jnp.float32) / np.sqrt(d / h)
-    p = jax.nn.softmax(s, axis=-1).astype(x.dtype)
-    att = jnp.matmul(p, v, preferred_element_type=jnp.float32).astype(x.dtype)
-    att = att.transpose(0, 2, 1, 3).reshape(b, l, d)
-    out = (jnp.matmul(att, wout, preferred_element_type=jnp.float32)
-           + bout).astype(x.dtype)
-    return x + out
-
-
-def fab_ln(x, s, b, eps):
-    x32 = x.astype(jnp.float32)
-    mu = x32.mean(-1, keepdims=True)
-    var = x32.var(-1, keepdims=True)
-    return ((x32 - mu) * jax.lax.rsqrt(var + eps) * s + b).astype(x.dtype)
+    # the SAME oracle the tests pin against (advisor round 4: don't keep a
+    # third copy of the math that can silently drift from the pinned one)
+    return fab._reference_chain(x, ls, lb, wqkv, bqkv, wout, bout,
+                                num_heads=h, eps=eps)
 
 
 def probe(name, b, l, d, h, reps=30):
