@@ -138,3 +138,38 @@ def test_predict_fusion_classify(image_dir, tmp_path):
     for r in recs:
         assert r["class"] in {"Others", "Hypertrophic scar", "Keloid scar"}
         assert len(r["tags"]) == 6
+
+
+def test_predict_fusion_classify_from_artifact(image_dir, tmp_path):
+    """Deploy-without-model-code: --export-serving writes the AOT artifact
+    (serve_classify with the prompt table baked in), then --serving-artifact
+    reruns the same inputs from the blob alone and must reproduce the live
+    run's classes and tags."""
+    live_out = tmp_path / "live.jsonl"
+    art = tmp_path / "artifact"
+    predict_main([
+        "--model", "test-tiny-fusion", "--precision", "fp32",
+        "--input", str(image_dir), "--fusion-classify",
+        "--batch-size", "4", "--output", str(live_out),
+        "--export-serving", str(art),
+    ])
+    assert (art / "serving_manifest.json").is_file()
+    assert (art / "serve_classify.stablehlo").is_file()
+
+    art_out = tmp_path / "art.jsonl"
+    predict_main([
+        "--input", str(image_dir), "--fusion-classify",
+        "--batch-size", "4", "--output", str(art_out),
+        "--serving-artifact", str(art),
+    ])
+    live = [json.loads(l) for l in live_out.read_text().splitlines()]
+    from_art = [json.loads(l) for l in art_out.read_text().splitlines()]
+    assert len(from_art) == len(live) == 5
+    for a, b in zip(from_art, live):
+        assert a["image"] == b["image"]
+        assert a["class"] == b["class"]
+        assert a["tags"] == b["tags"]
+        for c, p in b["probs"].items():
+            # live path normalizes on host in fp32, the artifact in-graph —
+            # probabilities agree to preprocessing noise
+            assert abs(a["probs"][c] - p) < 0.05

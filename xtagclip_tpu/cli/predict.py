@@ -54,6 +54,16 @@ def _parse_args(argv=None):
                         "--use-tagging)")
     p.add_argument("--prompt-template-setting", default="sentence_1",
                    help="template for --fusion-classify")
+    p.add_argument("--serving-artifact", default=None,
+                   help="run --fusion-classify from an AOT serving artifact "
+                        "dir (convert/serving.py serve_classify entry): no "
+                        "model code or checkpoint is loaded — weights and "
+                        "the prompt table are baked into the StableHLO blob")
+    p.add_argument("--export-serving", default=None,
+                   help="with --fusion-classify: write the AOT artifact "
+                        "(encode_image/encode_text/forward + serve_classify "
+                        "with the precomputed prompt table baked in) to this "
+                        "dir before predicting")
     p.add_argument("--batch-size", type=int, default=32)
     p.add_argument("--precision", default="bf16")
     p.add_argument("--output", default="-",
@@ -127,16 +137,49 @@ def main(argv=None):
 
     if args.fusion_classify:
         args.use_tagging = True
-    kw = {"pretrained": args.pretrained} if args.pretrained else {}
-    bundle, _, preprocess = create_model_and_transforms(
-        args.model, precision=args.precision,
-        use_tagging=args.use_tagging, use_fusion=args.fusion_classify, **kw)
-    if args.resume:
-        load_checkpoint(bundle, args.resume)
-    tokenizer = get_tokenizer(args.model)
 
     serve = None
-    if args.fusion_classify:
+    bundle = None
+    if args.serving_artifact:
+        # deploy-from-artifact: the entire 9.5k img/s precomputed-prompt
+        # pipeline (vision tower -> tag head -> prompt-table gather -> TQN
+        # fusion) runs from the serialized StableHLO blob; neither the model
+        # code nor the checkpoint is touched. The manifest carries the host
+        # preprocess recipe (resize/crop to uint8; normalize is in-graph).
+        if not args.fusion_classify:
+            raise SystemExit("--serving-artifact requires --fusion-classify")
+        import dataclasses
+
+        from xtagclip_tpu.convert.serving import load_serving, read_manifest
+        from xtagclip_tpu.data.transforms import (
+            PreprocessCfg,
+            image_transform_eval,
+        )
+
+        fns = load_serving(args.serving_artifact)
+        if "serve_classify" not in fns:
+            raise SystemExit(
+                f"{args.serving_artifact} has no serve_classify entry — "
+                "export it with --export-serving under --fusion-classify")
+        manifest = read_manifest(args.serving_artifact)
+        pp = manifest.get("preprocess") or {}
+        fields = {f.name for f in dataclasses.fields(PreprocessCfg)}
+        cfg = PreprocessCfg(**{k: v for k, v in pp.items() if k in fields})
+        preprocess = image_transform_eval(cfg, normalize_host=False)
+        classnames = manifest.get("classnames") or classnames
+        _classify = fns["serve_classify"]
+        serve = lambda _params, images: _classify(images)  # noqa: E731
+    else:
+        kw = {"pretrained": args.pretrained} if args.pretrained else {}
+        bundle, _, preprocess = create_model_and_transforms(
+            args.model, precision=args.precision,
+            use_tagging=args.use_tagging, use_fusion=args.fusion_classify,
+            **kw)
+        if args.resume:
+            load_checkpoint(bundle, args.resume)
+    tokenizer = None if bundle is None else get_tokenizer(args.model)
+
+    if args.fusion_classify and bundle is not None:
         from xtagclip_tpu.serving import (
             make_xtag_serve_step,
             precompute_prompt_features,
@@ -148,6 +191,15 @@ def main(argv=None):
                              templates=[args.prompt_template_setting]).table
         feats_table = precompute_prompt_features(bundle, ptable,
                                                  template_id=0)
+        if args.export_serving:
+            from xtagclip_tpu.convert.serving import save_serving
+
+            manifest = save_serving(
+                bundle, args.export_serving, model_name=args.model,
+                serve_classify_table=feats_table, classnames=classnames)
+            sizes = ", ".join("{}={:.1f}MB".format(k, v["bytes"] / 1e6)
+                              for k, v in manifest["entries"].items())
+            print(f"wrote serving artifact: {args.export_serving} ({sizes})")
         serve = make_xtag_serve_step(bundle, feats_table)
 
     classifier = None
@@ -181,8 +233,9 @@ def main(argv=None):
                                imgs.dtype)
                 imgs = np.concatenate([imgs, pad])
             if serve is not None:
-                feats, tag_global, logits = serve(bundle.params,
-                                                  jnp.asarray(imgs))
+                feats, tag_global, logits = serve(
+                    None if bundle is None else bundle.params,
+                    jnp.asarray(imgs))
             else:
                 feats, logits, tag_global = forward(
                     bundle.params, jnp.asarray(imgs), classifier)

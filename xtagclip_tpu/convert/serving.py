@@ -117,18 +117,100 @@ def export_serving(
             for name in entries}
 
 
+def export_serve_classify(
+    bundle,
+    text_g_table,
+    batch_size: Optional[int] = None,
+    platforms: Optional[Sequence[str]] = None,
+) -> "jexport.Exported":
+    """Export the framework's OWN production path — the precomputed-prompt
+    fusion classifier (serving.py: vision tower -> tag head -> cached
+    [C, K, D] prompt-query gather -> TQN fusion over every class) — as one
+    AOT entry `serve_classify(images_u8) -> (image_features, tag_global,
+    fusion_logits[B, C])`.
+
+    This is strictly more than the reference's traceable surface: its
+    forward re-tokenizes pseudo-prompts ON HOST every batch
+    (reference model.py:545), so the fused classify path cannot be traced
+    there at all; here the whole 9.5k img/s pipeline deploys as a single
+    StableHLO blob with the weights AND the prompt table baked in, no model
+    code needed at serving time.
+
+    text_g_table: [C, K, D] from serving.precompute_prompt_features (run it
+    against the checkpoint being deployed). Symbolic batch by default.
+    """
+    from xtagclip_tpu.serving import serve_body
+
+    module, params = bundle.module, bundle.params
+    if not getattr(module, "use_fusion", False):
+        raise ValueError(
+            "export_serve_classify needs a model built with use_fusion=True "
+            "(and use_tagging=True) — pass them to create_model")
+    extra = dict(bundle.extra_variables or {})
+    pp = getattr(bundle, "preprocess_cfg", None) or {}
+    mean = tuple(pp.get("mean") or ()) or None
+    std = tuple(pp.get("std") or ()) or None
+    dtype = getattr(module, "dtype", jnp.float32)
+    table = jnp.asarray(text_g_table)
+
+    def serve_classify(images_u8):
+        kw = {}
+        if mean is not None:
+            kw["mean"] = mean
+        if std is not None:
+            kw["std"] = std
+        x = normalize_images(images_u8, dtype=dtype, **kw)
+        return module.apply({"params": params, **extra}, x, table,
+                            method=serve_body)
+
+    image_size = bundle.model_cfg["vision_cfg"].get("image_size", 224)
+    if isinstance(image_size, (tuple, list)):
+        ih, iw = image_size
+    else:
+        ih = iw = image_size
+    if batch_size is None:
+        (b,) = jexport.symbolic_shape("b")
+    else:
+        b = int(batch_size)
+    img_spec = jax.ShapeDtypeStruct((b, ih, iw, 3), jnp.uint8)
+    kw = {}
+    if platforms is not None:
+        kw["platforms"] = tuple(platforms)
+    return jexport.export(jax.jit(serve_classify), **kw)(img_spec)
+
+
 def save_serving(bundle, out_dir: str, model_name: str = "",
                  batch_size: Optional[int] = None,
                  platforms: Optional[Sequence[str]] = None,
                  entries: Sequence[str] = ("encode_image", "encode_text",
-                                           "forward")) -> dict:
+                                           "forward"),
+                 serve_classify_table=None,
+                 classnames: Optional[Sequence[str]] = None) -> dict:
     """Write the serving artifact: one .stablehlo blob per entry point plus
     a manifest (shapes, dtypes, platforms, model name). Returns the
-    manifest dict."""
+    manifest dict.
+
+    serve_classify_table: optional [C, K, D] precomputed prompt-feature
+    table (serving.precompute_prompt_features); when given, the artifact
+    additionally carries the `serve_classify` entry (the precomputed-prompt
+    fusion classifier, export_serve_classify)."""
     os.makedirs(out_dir, exist_ok=True)
-    exported = export_serving(bundle, batch_size=batch_size,
-                              platforms=platforms, entries=entries)
-    manifest = {"model": model_name, "entries": {}}
+    exported = dict(export_serving(bundle, batch_size=batch_size,
+                                   platforms=platforms, entries=entries)
+                    if entries else {})
+    if serve_classify_table is not None:
+        exported["serve_classify"] = export_serve_classify(
+            bundle, serve_classify_table, batch_size=batch_size,
+            platforms=platforms)
+    from xtagclip_tpu.factory import get_model_preprocess_cfg
+
+    manifest = {"model": model_name, "entries": {},
+                # everything a loader needs to feed the artifact: the host
+                # stage is resize/crop to uint8 (transforms.py,
+                # normalize_host=False); normalize is in-graph
+                "preprocess": get_model_preprocess_cfg(bundle)}
+    if classnames is not None:
+        manifest["classnames"] = list(classnames)
     for name, exp in exported.items():
         blob = exp.serialize()
         fname = f"{name}.stablehlo"
@@ -144,6 +226,12 @@ def save_serving(bundle, out_dir: str, model_name: str = "",
     with open(os.path.join(out_dir, _MANIFEST), "w") as f:
         json.dump(manifest, f, indent=2)
     return manifest
+
+
+def read_manifest(out_dir: str) -> dict:
+    """The artifact's manifest (entries, preprocess recipe, classnames)."""
+    with open(os.path.join(out_dir, _MANIFEST)) as f:
+        return json.load(f)
 
 
 def load_serving(out_dir: str) -> Dict[str, object]:

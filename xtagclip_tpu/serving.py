@@ -59,13 +59,32 @@ def precompute_prompt_features(bundle, prompt_table, template_id: int = 0,
     return jnp.asarray(feats.reshape(n_cls, n_combos, -1))
 
 
+def serve_body(m, images, table):
+    """The precomputed-prompt classify program, as a flax `method=` body:
+    images -> (img_feat, global tag picks, [B, C] fusion logits).
+
+    The fusion logits follow the train path's i2t direction (queries =
+    per-class pooled prompt features for the image's OWN tag combo, memory
+    = [global ; local] image tokens, models/clip.py:296-299). Shared by
+    make_xtag_serve_step (live serving) and convert/serving.py's
+    export_serve_classify (the AOT artifact) so the two can never drift.
+    """
+    img_feat, tokens = m.encode_image(images, normalize=True,
+                                      deterministic=True)
+    tag_logits = m.tag_forward(tokens, deterministic=True)
+    tag_local, tag_global = m.prepare_tag_indices(tag_logits)
+    combo = combo_index(tag_local)                 # [B]
+    queries = jnp.swapaxes(table[:, combo], 0, 1)  # [B, C, D]
+    image_g = tokens.mean(axis=1)
+    memory = jnp.concatenate([image_g[:, None], tokens], axis=1)
+    i2t = m.fusion_model(memory, queries, deterministic=True)[..., 0]
+    return img_feat, tag_global, i2t
+
+
 def make_xtag_serve_step(bundle, text_g_table):
     """One jitted program: images -> (img_feat, tag picks, [B, C] fusion).
 
-    text_g_table: [C, K, D] from precompute_prompt_features. The fusion
-    logits follow the train path's i2t direction (queries = per-class
-    pooled prompt features for the image's OWN tag combo, memory =
-    [global ; local] image tokens, models/clip.py:296-299).
+    text_g_table: [C, K, D] from precompute_prompt_features.
     """
     module = bundle.module
     if not getattr(module, "use_fusion", False):
@@ -74,22 +93,10 @@ def make_xtag_serve_step(bundle, text_g_table):
             "(and use_tagging=True) — pass them to create_model")
     extra = dict(bundle.extra_variables or {})
 
-    def _serve(m, images, table):
-        img_feat, tokens = m.encode_image(images, normalize=True,
-                                          deterministic=True)
-        tag_logits = m.tag_forward(tokens, deterministic=True)
-        tag_local, tag_global = m.prepare_tag_indices(tag_logits)
-        combo = combo_index(tag_local)                 # [B]
-        queries = jnp.swapaxes(table[:, combo], 0, 1)  # [B, C, D]
-        image_g = tokens.mean(axis=1)
-        memory = jnp.concatenate([image_g[:, None], tokens], axis=1)
-        i2t = m.fusion_model(memory, queries, deterministic=True)[..., 0]
-        return img_feat, tag_global, i2t
-
     @jax.jit
     def step(params, images, table):
         return module.apply({"params": params, **extra}, images, table,
-                            method=_serve)
+                            method=serve_body)
 
     def serve(params, images):
         return step(params, images, text_g_table)
