@@ -17,6 +17,12 @@
 //        the host side of reference transform.py:334-355)
 //   xtag_decode_rrc_batch(ptrs, lens, n, target, boxes[n*4], flips[n],
 //                         out, n_threads) -> #ok
+//   xtag_jpeg_dims(jpeg, len, &h, &w) -> 0 ok          (header-only parse)
+//   xtag_decode_square(jpeg, len, target, cap, out[cap*cap*3], &side) -> 0 ok
+//       (device-preprocess host stage: M/8 DCT-scaled decode + square
+//        center-crop by memcpy — minimum bytes over PCIe)
+//   xtag_decode_square_batch(ptrs, lens, n, target, cap, out, sides[n],
+//                            n_threads) -> #ok
 
 #include <cstddef>
 #include <cstdio>
@@ -137,10 +143,14 @@ int resize_crop(const uint8_t* src, int sh, int sw, int target, uint8_t* out) {
   return 0;
 }
 
-// decode a JPEG into an RGB u8 buffer. `needed_short_side` drives the DCT
-// scale-on-decode choice: decode at the largest 1/N (N=1,2,4,8) whose
-// shortest side still exceeds ~1.15x the needed detail.
-int decode_jpeg(const uint8_t* data, size_t len, int needed_short_side,
+// decode a JPEG into an RGB u8 buffer. `min_short_side` drives the DCT
+// scale-on-decode choice: decode at the smallest M/8 scale (libjpeg-turbo
+// supports every M in 1..8 during the IDCT, nearly free) whose output
+// shortest side is still >= min_short_side. Callers bake their own quality
+// margin into min_short_side (the host resize paths pass ~1.15x the crop
+// target; the device-preprocess path passes the target exactly — the
+// accelerator-side separable resampler takes it from there).
+int decode_jpeg(const uint8_t* data, size_t len, int min_short_side,
                 std::vector<uint8_t>* buf, int* out_h, int* out_w) {
   jpeg_decompress_struct cinfo;
   ErrMgr jerr;
@@ -158,13 +168,14 @@ int decode_jpeg(const uint8_t* data, size_t len, int needed_short_side,
   }
   cinfo.out_color_space = JCS_RGB;
   const int shortest = std::min(cinfo.image_width, cinfo.image_height);
-  int denom = 1;
-  while (denom < 8 &&
-         shortest / (denom * 2) >=
-             static_cast<int>(1.15 * needed_short_side))
-    denom *= 2;
-  cinfo.scale_num = 1;
-  cinfo.scale_denom = denom;
+  // smallest M with ceil(shortest * M / 8) >= min_short_side (jpeg rounds
+  // output dims up, so shortest * M / 8 >= min_short suffices)
+  int m = 8;
+  if (min_short_side > 0 && shortest > min_short_side)
+    m = std::max<long>(
+        1, std::min<long>(8, (8L * min_short_side + shortest - 1) / shortest));
+  cinfo.scale_num = m;
+  cinfo.scale_denom = 8;
   cinfo.dct_method = JDCT_IFAST;
   jpeg_start_decompress(&cinfo);
   const int w = cinfo.output_width, h = cinfo.output_height;
@@ -203,7 +214,9 @@ int xtag_decode_resize(const uint8_t* data, size_t len, int target,
                        uint8_t* out) {
   std::vector<uint8_t> buf;
   int h = 0, w = 0;
-  const int rc = decode_jpeg(data, len, target, &buf, &h, &w);
+  // 1.15x quality margin: the host bilinear resample below wants a little
+  // detail headroom over the crop target
+  const int rc = decode_jpeg(data, len, (target * 23 + 19) / 20, &buf, &h, &w);
   if (rc != 0) return rc;
   return resize_crop(buf.data(), h, w, target, out);
 }
@@ -216,10 +229,11 @@ int xtag_decode_rrc(const uint8_t* data, size_t len, int target, float fx,
   if (fw <= 0.0f || fh <= 0.0f || fx < 0.0f || fy < 0.0f ||
       fx + fw > 1.0001f || fy + fh > 1.0001f)
     return 3;
-  // needed detail: the crop (fh/fw of the image) must still carry >= target px
+  // needed detail: the crop (fh/fw of the image) must still carry >= target
+  // px, with the same 1.15x resample margin as the eval path
   const float min_frac = std::min(fw, fh);
   const int needed =
-      static_cast<int>(std::ceil(target / std::max(min_frac, 0.05f)));
+      static_cast<int>(std::ceil(1.15f * target / std::max(min_frac, 0.05f)));
   std::vector<uint8_t> buf;
   int h = 0, w = 0;
   const int rc = decode_jpeg(data, len, needed, &buf, &h, &w);
@@ -312,6 +326,92 @@ int xtag_decode_native_batch(const uint8_t** datas, const size_t* lens, int n,
       }
       sizes[i * 2] = h;
       sizes[i * 2 + 1] = w;
+    }
+  };
+  std::vector<std::thread> threads;
+  const int nt = std::min(n_threads, n);
+  threads.reserve(nt);
+  for (int t = 0; t < nt; ++t) threads.emplace_back(worker);
+  for (auto& t : threads) t.join();
+  return ok.load();
+}
+
+// header-only parse: the encoded dimensions, no IDCT. Lets the Python side
+// pick the padded-bucket capacity for a batch before decoding it.
+int xtag_jpeg_dims(const uint8_t* data, size_t len, int* out_h, int* out_w) {
+  jpeg_decompress_struct cinfo;
+  ErrMgr jerr;
+  cinfo.err = jpeg_std_error(&jerr.pub);
+  jerr.pub.error_exit = error_exit;
+  if (setjmp(jerr.setjmp_buffer)) {
+    jpeg_destroy_decompress(&cinfo);
+    return 1;
+  }
+  jpeg_create_decompress(&cinfo);
+  jpeg_mem_src(&cinfo, data, len);
+  if (jpeg_read_header(&cinfo, TRUE) != JPEG_HEADER_OK) {
+    jpeg_destroy_decompress(&cinfo);
+    return 2;
+  }
+  *out_h = static_cast<int>(cinfo.image_height);
+  *out_w = static_cast<int>(cinfo.image_width);
+  jpeg_destroy_decompress(&cinfo);
+  return 0;
+}
+
+// minimum-bytes host stage for the device-preprocess path: decode at the
+// smallest M/8 DCT scale with shortest side >= target, then CENTER-CROP TO
+// SQUARE (pure row memcpy — the columns/rows a later
+// resize-shortest-side-then-center-crop would discard never cross PCIe).
+// The device resampler (ops/preprocess.resize_crop_normalize) turns the
+// [side, side] square into the final [target, target] crop. Output is a
+// zero-padded [cap, cap, 3] slab (static device shapes); side > cap falls
+// back to a bilinear shrink-to-cap (extreme only: cap is chosen from the
+// batch's own headers). Writes the true side; returns 0 ok.
+int xtag_decode_square(const uint8_t* data, size_t len, int target, int cap,
+                       uint8_t* out, int32_t* out_side) {
+  std::vector<uint8_t> buf;
+  int h = 0, w = 0;
+  const int rc = decode_jpeg(data, len, target, &buf, &h, &w);
+  if (rc != 0) return rc;
+  int side = std::min(h, w);
+  const int top = (h - side) / 2, left = (w - side) / 2;
+  std::memset(out, 0, static_cast<size_t>(cap) * cap * 3);
+  if (side <= cap) {
+    for (int y = 0; y < side; ++y)
+      std::memcpy(out + static_cast<size_t>(y) * cap * 3,
+                  buf.data() + (static_cast<size_t>(y + top) * w + left) * 3,
+                  static_cast<size_t>(side) * 3);
+  } else {
+    bilinear_resize_region(buf.data(), h, w, static_cast<float>(left),
+                           static_cast<float>(top), static_cast<float>(side),
+                           static_cast<float>(side), out, cap, cap, 0);
+    // out rows are cap*3 wide == dst stride: full slab written
+    side = cap;
+  }
+  *out_side = side;
+  return 0;
+}
+
+// threaded batch square decode into [n, cap, cap, 3]; sides is [n] int32,
+// zeroed on failure. Returns the number of successful decodes.
+int xtag_decode_square_batch(const uint8_t** datas, const size_t* lens, int n,
+                             int target, int cap, uint8_t* out,
+                             int32_t* sides, int n_threads) {
+  if (n_threads < 1) n_threads = 1;
+  std::atomic<int> next(0), ok(0);
+  const size_t stride = static_cast<size_t>(cap) * cap * 3;
+  auto worker = [&]() {
+    for (;;) {
+      const int i = next.fetch_add(1);
+      if (i >= n) return;
+      int32_t side = 0;
+      if (xtag_decode_square(datas[i], lens[i], target, cap, out + i * stride,
+                             &side) == 0)
+        ok.fetch_add(1);
+      else
+        std::memset(out + i * stride, 0, stride);
+      sides[i] = side;
     }
   };
   std::vector<std::thread> threads;
