@@ -473,14 +473,16 @@ def main():
     partial["pipeline_samples_per_sec_host"] = pipeline_samples_per_s
 
     # same pipeline with the host stage reduced to DECODE ONLY (SURVEY §7
-    # step 3 / round-3 VERDICT item 4): native-size uint8 + true sizes cross
-    # PCIe, and the reference's whole torchvision eval chain
+    # step 3 / round-3 VERDICT item 4): M/8 DCT-scaled decode + square
+    # center-crop by memcpy (round-4 VERDICT item 5 — 480x640 sources decode
+    # at 4/8 and ship as 240x240 squares, 5.3x fewer h2d bytes than whole
+    # sources), and the reference's whole torchvision eval chain
     # (transform.py:360-383 Resize(bicubic)+CenterCrop+Normalize) runs
     # on-device as two MXU matmuls (ops/preprocess.resize_crop_normalize).
     pipeline_device_pp_per_s = None
     if not over_budget():
         try:
-            from xtagclip_tpu.data.native import decode_native_batch
+            from xtagclip_tpu.data.native import decode_square_batch
             from xtagclip_tpu.ops.preprocess import resize_crop_normalize
 
             def classify_native(params, images_u8, sizes, class_w, salt):
@@ -496,18 +498,17 @@ def main():
 
             dstep = jax.jit(classify_native)
             pb = 64
-            # 480x640 sources decode 1:1 at needed_short=224 -> one
-            # (512, 640) bucket, one compile
-            cap = (512, 640)
+
+            def square_batches():
+                for i in range(0, len(pjpegs), pb):
+                    imgs, sd = decode_square_batch(pjpegs[i:i + pb], 224)
+                    yield imgs, np.stack([sd, sd], axis=1)
 
             def run_device_pp():
                 n = 0
                 last = None
-                for i in range(0, len(pjpegs), pb):
-                    imgs, sz = decode_native_batch(pjpegs[i:i + pb], 224, cap)
-                    last = dstep(params, jax.device_put(imgs, dev),
-                                 jax.device_put(sz, dev), class_w,
-                                 jnp.bfloat16(0))
+                for imgs, sz in device_prefetch(square_batches(), size=2):
+                    last = dstep(params, imgs, sz, class_w, jnp.bfloat16(0))
                     n += imgs.shape[0]
                 np.asarray(last)
                 return n
@@ -595,6 +596,10 @@ def main():
         # cls-free GAP option (no_class_token=True): the zoo's highest-MFU
         # configuration, for from-scratch CLIPA-GAP recipes
         ("ViT-H-14-GAP-noCLS", dict(lbatch=64, k=6, no_cls=True)),
+        # head-padded dh=88 giant (round-4 VERDICT item 4): the zoo's
+        # ViT-g-14 — dispatches the 128-lane head-padded kernels when the
+        # gate admits them (ops/fused_attn_block._HEAD_PAD)
+        ("ViT-g-14", dict(lbatch=32, k=4)),
     ):
         # ViT-L is driver-tracked and budget-exempt; `continue` (not
         # `break`) so the exemption holds regardless of tuple order
@@ -742,10 +747,10 @@ def main():
         "note": ("device pipeline rate from device-resident uint8; JPEG "
                  "decode (host-bound, 1-core box) and h2d (tunnel-limited) "
                  "reported separately. pipeline_device_preprocess ships "
-                 "native-size padded uint8 (~1 MB/img vs 150 KB cropped) "
-                 "and is therefore h2d-tunnel-bound on THIS box — on real "
-                 "PCIe (~16 GB/s vs the tunnel's ~10-40 MB/s) the batch "
-                 "upload costs ~4 ms and the device resample is noise"),
+                 "M/8 DCT-scaled square center-crops (240x240 = 173 KB/img "
+                 "for these 480x640 sources, vs 150 KB host-cropped and "
+                 "~1 MB whole) — the host stage is decode+memcpy only; "
+                 "resample/crop/normalize ride the MXU"),
     }
     mark("h2d: measured")
     run_done.set()

@@ -10,7 +10,7 @@ import tempfile
 import numpy as np
 import pytest
 
-from tests.scar_fixtures import make_scar_dataset
+from scar_fixtures import make_scar_dataset
 
 pytestmark = pytest.mark.e2e
 

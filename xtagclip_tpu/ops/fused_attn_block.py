@@ -70,21 +70,33 @@ import jax.numpy as jnp
 _LANE = 128
 _VMEM_BUDGET = 32 * 1024 * 1024
 
-# Raised Mosaic scoped-VMEM ceiling for every pallas_call in this module.
-# The compiler's DEFAULT scoped limit is 16 MiB whenever the kernel sits
-# inside an enclosing lax.scan/while (and the round-3 "24/32 MiB ceilings"
-# in PERF.md were also default-limit artifacts, not hardware): v5e has
-# 128 MiB of VMEM, and pltpu.CompilerParams(vmem_limit_bytes=...) lifts
-# the cap per-kernel. 100 MiB leaves the scheduler slack for the
-# grid-pipelined x/y blocks while admitting the big head-padded towers
-# (ViT-g@336 estimate 44.5 MiB, bigG@224 36.4 MiB) — all re-probed
-# on-chip after the raise (PERF.md round 4, "the 16 MiB default limit").
+# Raised Mosaic scoped-VMEM ceiling — applied ONLY to the head-padded
+# (dh 88/104) attention kernels, which crash at the compiler's default
+# scoped limit when the pallas_call sits inside an enclosing lax.scan.
+# Round 4 raised the limit BLANKET-wide and the whole ViT-H family
+# regressed ~7% (BENCH_r03 372.0 -> r04 346.5 img/s @224): the scoped
+# limit is a scheduler knob, not just a ceiling — raising it changes
+# Mosaic's pipelining choices, and the full-tower A/B
+# (tools/probe_vith_ab.py, PERF.md round 5) attributed the drop to the
+# raise (r03 code on the same chip: 373.2 fused; r04 code at the default
+# or 32 MiB limit: ~373; at 100 MiB: 345.9). So: unpadded kernels keep
+# the compiler default; only the padded projections (which need the room
+# to compile at all) get the 100 MiB cap. XTAG_VMEM_LIMIT_MB overrides
+# both for experiments ("default" forces the compiler default).
 _VMEM_LIMIT_BYTES = 100 * 1024 * 1024
 
 
-def _compiler_params():
+def _compiler_params(raise_limit: bool = False):
     from jax.experimental.pallas import tpu as pltpu
 
+    mb = os.environ.get("XTAG_VMEM_LIMIT_MB")
+    if mb == "default":  # A/B hook: compiler-default scoped limit
+        return None
+    if mb:
+        return pltpu.CompilerParams(vmem_limit_bytes=int(mb) * 1024 * 1024)
+    if not raise_limit:
+        return None  # compiler default — measured fastest for every
+        # unpadded tower (the ViT-H@224 full-tower A/B above)
     return pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT_BYTES)
 
 
@@ -214,10 +226,17 @@ def supported(shape, num_heads: int, dtype=jnp.bfloat16,
       (L % 16 == 1 — 257/577 verified); the lane-aligned GAP lengths
       (256/576) crash the Mosaic compiler deterministically. Empirical
       toolchain workaround, re-probe on toolchain updates;
-    - head_dim 88/104 (ViT-g, ViT-bigG widths): crash — rejected;
+    - head_dim 88/104 (ViT-g, ViT-bigG widths): lane-misaligned heads
+      crash Mosaic unless the weights are head-padded to 128 lanes
+      (_HEAD_PAD) AND the scoped-VMEM limit is raised for that kernel
+      (_compiler_params(raise_limit=True)). Measured round 5
+      (tools/probe_vith_ab.py, PERF.md): ViT-g-14@224 (dh=88, est
+      31.7 MiB) wins +28.9% full-tower — admitted. ViT-bigG@224
+      (dh=104, est 36.4 MiB) measured 0.80x isolated and ViT-g@336
+      (est 44.5 MiB) sits above budget — both stay on XLA;
     - estimated working set under the budget (the estimate overcounts —
       real compiles fit well above the old 16 MB model; calibrated so
-      every verified shape passes and the untested >=448px giants don't).
+      every verified shape passes and the measured-loser giants don't).
     """
     if len(shape) != 3:
         return False
@@ -354,7 +373,12 @@ def supported_bwd(shape, num_heads: int, dtype=jnp.bfloat16,
     crashes the Mosaic compiler (estimate 27.3 MB) from l=256 up — so
     ViT-L/14 attention training stays on XLA autodiff; d=768 compiles
     through l=257 (estimate 18.4 MB). The eval forward's larger 32 MB
-    budget doesn't transfer: the backward holds ~3x the fp32 stream."""
+    budget doesn't transfer: the backward holds ~3x the fp32 stream.
+    Measured at the compiler-default scoped limit, which is what this
+    kernel runs at (round 5 scoped the 100 MiB raise to the head-padded
+    forward only — see _compiler_params; the kernel is a measured loser
+    in the full train step regardless, so the boundary is academic until
+    the toolchain's fusion-barrier behavior changes)."""
     if not supported(shape, num_heads, dtype, mask_shape):
         return False
     _, l, d = shape
@@ -499,7 +523,7 @@ def _fused_attn_half_fwd(x, ln_scale, ln_bias, wqkv, bqkv, wout, bout,
             transcendentals=b * l * l * num_heads,
         ),
         interpret=_interpret(),
-        compiler_params=_compiler_params(),
+        compiler_params=_compiler_params(raise_limit=dproj != d),
     )(*operands)
     return tuple(out) if emit_qkv else out[0]
 
