@@ -482,6 +482,7 @@ def main():
     pipeline_device_pp_per_s = None
     if not over_budget():
         try:
+            from xtagclip_tpu.data.loader import device_prefetch
             from xtagclip_tpu.data.native import decode_square_batch
             from xtagclip_tpu.ops.preprocess import resize_crop_normalize
 
