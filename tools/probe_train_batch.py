@@ -38,20 +38,25 @@ def main():
 
     argv = sys.argv[1:]
     gap = "--gap" in argv
+    remat = "--remat" in argv
+    scan = "--scan" in argv
     decompose_tb = None
     if "--decompose" in argv:
         i = argv.index("--decompose")
         decompose_tb = int(argv[i + 1])
         del argv[i:i + 2]
-    argv = [a for a in argv if a != "--gap"]
+    argv = [a for a in argv if a not in ("--gap", "--remat", "--scan")]
 
     dev = jax.devices()[0]
     print("device:", dev)
     kw = ({"vision_cfg": {"no_class_token": True, "pool_type": "avg"}}
           if gap else {})
-    bundle = create_model("ViT-B-32", precision="bf16", skip_init=True, **kw)
-    if gap:
-        print("variant: GAP (no_class_token=True)")
+    bundle = create_model("ViT-B-32", precision="bf16", skip_init=True,
+                          grad_checkpointing=remat, scan_layers=scan, **kw)
+    variant = [n for n, on in (("GAP", gap), ("remat", remat),
+                               ("scan", scan)) if on]
+    if variant:
+        print("variant:", "+".join(variant))
     module = bundle.module
     vc = bundle.model_cfg["vision_cfg"]
     ctx = bundle.model_cfg["text_cfg"].get("context_length", 77)
@@ -149,7 +154,10 @@ def main():
             r = fn(arg, jax.random.PRNGKey(1))
             np.asarray(r)
             print(f"  {name}: {(time.perf_counter()-t0)/KT*1e3:8.2f}")
-        fs = jax.jit(full_step)
+        # donate the state like the production multi-step: without it the
+        # non-donated fp32 state forces a full copy per call (measured
+        # 181 ms vs 66.9 ms production at tb=128)
+        fs = jax.jit(full_step, donate_argnums=0)
         s = fs(state, jax.random.PRNGKey(0))
         s = fs(s, jax.random.PRNGKey(1))
         np.asarray(s.step)
@@ -170,8 +178,11 @@ def main():
                 .astype(np.uint8), dev),
             dtype=jnp.bfloat16)
         batches = {"images": imgs_f, "texts": texts}
+        # donate=True matches the production trainer and is required at
+        # tb>=256: without donation the duplicated fp32 train state plus
+        # un-rematted bwd activations exhaust HBM (tb=256 OOMed, round 5)
         step_fn = make_multi_step(module, tx, {"use_tagging_loss": False},
-                                  num_steps=KT, donate=False)
+                                  num_steps=KT, donate=True)
         for i in range(2):
             state, m = step_fn(state, batches, jax.random.PRNGKey(i))
             np.asarray(m["loss"])

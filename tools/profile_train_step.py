@@ -85,24 +85,35 @@ def main():
             pid_name[ev["pid"]] = ev["args"].get("name", "")
     dev_pids = {p for p, n in pid_name.items()
                 if "TPU" in n or "/device" in n.lower()}
+    # Leaf HLO ops only: module-level spans (jit_*, while.*, bare ids)
+    # nest every leaf and would double-count. Group families by stripping
+    # the ".NNN" instance suffix so 12 per-layer clones of one fusion
+    # aggregate into one row.
+    import re
+
+    wrapper = re.compile(r"^(jit_|while[.\d]|body|condition|\d+$)")
+    fam = re.compile(r"[.\d]+$")
     tot = defaultdict(float)
     cnt = defaultdict(int)
     for ev in trace.get("traceEvents", []):
         if ev.get("ph") != "X" or ev.get("pid") not in dev_pids:
             continue
         name = ev.get("name", "?")
+        if wrapper.match(name):
+            continue
+        name = fam.sub("", name)
         tot[name] += ev.get("dur", 0.0)
         cnt[name] += 1
     if not tot:
         print("no device events; pids:", pid_name)
         return
     total_us = sum(tot.values())
-    print(f"\n{len(tot)} distinct device ops, "
-          f"{total_us/1e3:.1f} ms total over {KT} steps "
+    print(f"\n{len(tot)} op families, "
+          f"{total_us/1e3:.1f} ms leaf total over {KT} steps "
           f"({total_us/1e3/KT:.1f} ms/step busy)")
-    print(f"{'us/step':>10}  {'%':>5}  {'n':>4}  op")
-    for name, us in sorted(tot.items(), key=lambda kv: -kv[1])[:40]:
-        print(f"{us/KT:10.0f}  {100*us/total_us:5.1f}  {cnt[name]:4d}  "
+    print(f"{'us/step':>10}  {'%':>5}  {'n':>5}  op family")
+    for name, us in sorted(tot.items(), key=lambda kv: -kv[1])[:30]:
+        print(f"{us/KT:10.0f}  {100*us/total_us:5.1f}  {cnt[name]:5d}  "
               f"{name[:110]}")
 
 
