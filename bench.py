@@ -196,6 +196,43 @@ def main():
     partial["vs_baseline"] = round(imgs_per_sec / 5000.0, 3)
     mark("headline: measured")
 
+    # model-independent device calibration: a scanned chain of bare MXU
+    # matmuls. The shared chip behind the tunnel is time-sliced and its
+    # effective speed swings >20x hour to hour (round-5 PERF note); this
+    # pins what THIS run's slice of the chip could do, so a collapsed
+    # headline is attributable to weather rather than the code. Runs right
+    # AFTER the headline (the contract metric must never wait behind a
+    # bad-weather program-load, which can exceed 300 s by itself).
+    try:
+        with jax.default_device(dev):
+            # .sum() + float(): only a VALUE readback proves execution here —
+            # block_until_ready returns before the device has run (measured:
+            # block 0.00s, first float() 297s on a bad-weather day).
+            # length=128 keeps the ~30 ms scalar-readback RTT under ~3% of
+            # the timed window even at full speed (17.6 TFLOP ≈ 90 ms at peak)
+            cal = jax.jit(lambda a, s: jax.lax.scan(
+                lambda c, _: (jnp.tanh(c @ c), None), a + s, None,
+                length=128)[0].sum())
+            a0 = jax.random.normal(jax.random.PRNGKey(1), (4096, 4096),
+                                   jnp.bfloat16)
+            t0 = time.perf_counter()
+            float(cal(a0, jnp.bfloat16(0)))  # compile + first program-load
+            load_s = time.perf_counter() - t0
+            best = float("inf")
+            for i in range(2):
+                t0 = time.perf_counter()
+                float(cal(a0, jnp.bfloat16(i + 1)))
+                best = min(best, time.perf_counter() - t0)
+        partial["device_calibration_matmul_tflops"] = round(
+            128 * 2 * 4096**3 / best / 1e12, 1)
+        partial["device_calibration_first_load_s"] = round(load_s, 1)
+        mark(f"device calibration: "
+             f"{partial['device_calibration_matmul_tflops']} TFLOP/s steady, "
+             f"first-load {load_s:.1f}s")
+    except Exception as e:  # noqa: BLE001 - calibration must never kill bench
+        partial["device_calibration_matmul_tflops"] = \
+            f"unavailable: {type(e).__name__}"
+
     # p50 per-image classify latency (batch 1, full host sync per call;
     # tunnel-RTT-dominated on this box). Measured IMMEDIATELY after the
     # headline — it is a BASELINE.json north-star component and must never
@@ -743,6 +780,10 @@ def main():
         "pipeline_samples_per_sec_host": pipeline_samples_per_s,
         "pipeline_device_preprocess_samples_per_sec": pipeline_device_pp_per_s,
         "h2d_bandwidth_MBps": round(h2d_mbps, 0),
+        "device_calibration_matmul_tflops": partial.get(
+            "device_calibration_matmul_tflops"),
+        "device_calibration_first_load_s": partial.get(
+            "device_calibration_first_load_s"),
         "device": str(dev),
         "batch": batch,
         "note": ("device pipeline rate from device-resident uint8; JPEG "

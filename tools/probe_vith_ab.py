@@ -92,14 +92,24 @@ def main():
     ]
     names = sys.argv[1:]
     known = {n for n, _ in towers}
-    towers += [(n, dict(lbatch=32, k=4)) for n in names if n not in known]
+    # extra models by name; "Model@SIZE" probes at a forced image size
+    # (e.g. ViT-g-14@336 — pair with XTAG_VMEM_BUDGET_MB to let the padded
+    # kernel dispatch above the shipped 32 MiB supported() gate)
+    for n in names:
+        if n in known:
+            continue
+        cfg = dict(lbatch=32, k=4)
+        if "@" in n:
+            base, size = n.rsplit("@", 1)
+            cfg.update(image_size=int(size), lbatch=16)
+        towers.append((n, cfg))
     for name, cfg in towers:
         if names and name not in names:
             continue
         rates = {}
         for flag in ("0", "1"):
             os.environ["XTAG_FUSED_BLOCK"] = flag
-            model = name.replace("-GAP", "-CL32-GAP")
+            model = name.split("@")[0].replace("-GAP", "-CL32-GAP")
             rates[flag] = tower_rate(model, **cfg)
             print(f"  {name} fused={flag}: {rates[flag]:.1f} img/s",
                   flush=True)

@@ -68,7 +68,11 @@ import jax
 import jax.numpy as jnp
 
 _LANE = 128
-_VMEM_BUDGET = 32 * 1024 * 1024
+# supported()'s working-set admission gate. XTAG_VMEM_BUDGET_MB is an
+# EXPERIMENT hook (tools/probe_head_pad.py full-tower A/Bs of shapes above
+# the shipped gate, e.g. ViT-g@336's 44.5 MiB set); 32 MiB stays the
+# shipped default — every admitted shape is measured to win at full tower.
+_VMEM_BUDGET = int(os.environ.get("XTAG_VMEM_BUDGET_MB", "32")) * 1024 * 1024
 
 # Raised Mosaic scoped-VMEM ceiling — applied ONLY to the head-padded
 # (dh 88/104) attention kernels, which crash at the compiler's default
