@@ -638,6 +638,9 @@ def main():
         # ViT-g-14 — dispatches the 128-lane head-padded kernels when the
         # gate admits them (ops/fused_attn_block._HEAD_PAD)
         ("ViT-g-14", dict(lbatch=32, k=4)),
+        # 44.5 MiB padded shape, admitted round 5 after the full-tower A/B
+        # measured +22.7% (PERF.md round-5 head-pad table)
+        ("ViT-g-14@336", dict(lbatch=16, k=4, image_size=336)),
     ):
         # ViT-L is driver-tracked and budget-exempt; `continue` (not
         # `break`) so the exemption holds regardless of tuple order

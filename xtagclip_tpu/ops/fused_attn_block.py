@@ -235,9 +235,10 @@ def supported(shape, num_heads: int, dtype=jnp.bfloat16,
       (_HEAD_PAD) AND the scoped-VMEM limit is raised for that kernel
       (_compiler_params(raise_limit=True)). Measured round 5
       (tools/probe_vith_ab.py, PERF.md): ViT-g-14@224 (dh=88, est
-      31.7 MiB) wins +28.9% full-tower — admitted. ViT-bigG@224
-      (dh=104, est 36.4 MiB) measured 0.80x isolated and ViT-g@336
-      (est 44.5 MiB) sits above budget — both stay on XLA;
+      31.7 MiB) wins +28.9% full-tower and ViT-g-14@336 (est 44.5 MiB)
+      wins +22.7% full-tower (90.7 vs 73.9 img/s) — both admitted via
+      the dh=88-specific 48 MiB budget below. ViT-bigG@224 (dh=104,
+      est 36.4 MiB) measured 0.80x isolated — stays on XLA;
     - estimated working set under the budget (the estimate overcounts —
       real compiles fit well above the old 16 MB model; calibrated so
       every verified shape passes and the measured-loser giants don't).
@@ -257,8 +258,13 @@ def supported(shape, num_heads: int, dtype=jnp.bfloat16,
     if dh == 80 and l % 16 != 1:
         return False
     if dh in _HEAD_PAD:  # lane-padded heads: bigger working set (see below)
+        # dh=88 (ViT-g) budget 48 MiB: its 44.5 MiB @336 shape is a
+        # measured +22.7% full-tower winner under the raised compile
+        # limit; dh=104 (bigG) keeps the default budget — measured loser.
+        budget = max(_VMEM_BUDGET, 48 * 1024 * 1024) if dh == 88 \
+            else _VMEM_BUDGET
         return _vmem_estimate_padded(l, d, num_heads * _HEAD_PAD[dh]) \
-            < _VMEM_BUDGET
+            < budget
     return _vmem_estimate(l, d) < _VMEM_BUDGET
 
 
