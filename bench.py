@@ -641,6 +641,8 @@ def main():
         # 44.5 MiB padded shape, admitted round 5 after the full-tower A/B
         # measured +22.7% (PERF.md round-5 head-pad table)
         ("ViT-g-14@336", dict(lbatch=16, k=4, image_size=336)),
+        # dh=104 giant — +25.2% full-tower via the padded kernels (round 5)
+        ("ViT-bigG-14", dict(lbatch=16, k=4)),
     ):
         # ViT-L is driver-tracked and budget-exempt; `continue` (not
         # `break`) so the exemption holds regardless of tuple order

@@ -75,10 +75,10 @@ def test_shape_gate():
     assert fab.supported((32, 577, 1280), 16)
     assert not fab.supported((64, 256, 1280), 16)
     assert not fab.supported((32, 576, 1280), 16)
-    # ViT-g head dim 88: taken via lane-padded heads (round 4); bigG's
-    # padded working set at L=257 is over the VMEM budget
+    # ViT-g / ViT-bigG head dims 88/104: taken via lane-padded heads —
+    # all four production shapes measured full-tower winners (round 5)
     assert fab.supported((32, 257, 1408), 16)
-    assert not fab.supported((16, 257, 1664), 16)
+    assert fab.supported((16, 257, 1664), 16)
     # fp32 streams stay on the XLA path
     assert not fab.supported((128, 256, 1024), 16, jnp.float32)
     # working-set budget: the >=448px giants are untested and rejected
@@ -646,13 +646,13 @@ def test_head_pad_gate():
     # ViT-g geometry: width 1408, 16 heads, dh 88
     assert fab.head_pad(1408, 16) == 128
     assert fab.supported((8, 257, 1408), 16)
-    # ViT-g @336 (L=577, est 44.5 MiB): admitted via the dh=88-specific
-    # 48 MiB budget — measured +22.7% at full tower (PERF.md round 5)
+    # all four padded production shapes are measured full-tower winners
+    # (PERF.md round 5: g +28.9% @224 / +22.7% @336, bigG +25.2% @224 /
+    # +7.0% @336) — admitted via the 56 MiB _PADDED_VMEM_BUDGET
     assert fab.supported((8, 577, 1408), 16)
-    # ViT-bigG geometry (width 1664, dh 104): measured 0.80x isolated —
-    # keeps the default 32 MiB budget and stays on XLA
     assert fab.head_pad(1664, 16) == 128
-    assert not fab.supported((8, 257, 1664), 16)
+    assert fab.supported((8, 257, 1664), 16)
+    assert fab.supported((8, 577, 1664), 16)
     # unpadded dims unchanged
     assert fab.head_pad(768, 12) == 64
     assert fab.head_pad(1280, 16) == 80
